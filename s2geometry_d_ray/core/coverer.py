@@ -1,0 +1,199 @@
+"""S2RegionCoverer: deterministic best-first cell covering of a region.
+
+Reimplements the covering algorithm of ``src/s2/s2region_coverer.d``:
+  - candidate creation / terminal rules       (:520-547 newCandidate)
+  - expansion and sibling-merge optimization  (:556-622 addCandidate)
+  - priority = -(((level << 2*mod) + num_children) << 2*mod) + terminals
+               (:589-594), deterministic tie-break by insertion order
+  - best-first loop with max_cells budget     (:640-712)
+  - fast covering seed from the cap bound     (:299-302, s2cap.d
+    getCellUnionBound via vertex neighbors)
+  - canonicalization via cellunion.normalize + denormalize
+
+Regions must provide: may_intersect_cell(Cell), contains_cell(Cell),
+get_cap_bound() -> Cap. Cap, LatLngRect, Loop, Polygon and Cell qualify.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import cellid as ci
+from . import cellunion as cu
+from .cap import Cap
+from .cell import Cell
+from .metrics import MIN_WIDTH
+
+_FACE_IDS = [np.uint64((f << 61) | (1 << 60)) for f in range(6)]
+
+
+def _cap_cell_union_bound(cap: Cap):
+    """S2Cap.getCellUnionBound: <=4 vertex neighbors at the cap scale, or the
+    6 face cells for large caps."""
+    if cap.is_empty():
+        return []
+    if cap.is_full() or cap.radius2 >= 2.0:
+        return list(_FACE_IDS)
+    level = MIN_WIDTH.get_level_for_min_value(cap.radius_radians()) - 1
+    if level < 0:
+        return list(_FACE_IDS)
+    x, y, z = cap.center
+    center_id = ci.cellid_from_xyz(np.float64([x]), np.float64([y]),
+                                   np.float64([z]))[0]
+    return list(ci.vertex_neighbors(center_id, level))
+
+
+class CovererOptions:
+    def __init__(self, max_cells=8, min_level=0, max_level=ci.MAX_LEVEL,
+                 level_mod=1):
+        assert 0 <= min_level <= max_level <= ci.MAX_LEVEL
+        assert 1 <= level_mod <= 3
+        self.max_cells = max_cells
+        self.min_level = min_level
+        self.max_level = max_level
+        self.level_mod = level_mod
+
+    def true_max_level(self):
+        if self.level_mod == 1:
+            return self.max_level
+        return self.max_level - (self.max_level - self.min_level) \
+            % self.level_mod
+
+
+class RegionCoverer:
+    def __init__(self, max_cells=8, min_level=0, max_level=ci.MAX_LEVEL,
+                 level_mod=1):
+        self.options = CovererOptions(max_cells, min_level, max_level,
+                                      level_mod)
+
+    # -- public API ----------------------------------------------------
+    def get_covering(self, region):
+        """Exterior covering: cells whose union covers the region."""
+        return self._get_covering_internal(region, interior=False)
+
+    def get_interior_covering(self, region):
+        """Cells entirely contained in the region (auto-accept for joins)."""
+        return self._get_covering_internal(region, interior=True)
+
+    def get_fast_covering(self, region):
+        cells = _cap_cell_union_bound(region.get_cap_bound())
+        cells = self._adjust_cell_levels(cells)
+        return np.array(sorted(int(c) for c in cells), dtype=np.uint64)
+
+    # -- internals -----------------------------------------------------
+    def _max_children_shift(self):
+        return 2 * self.options.level_mod
+
+    def _adjust_level(self, level):
+        o = self.options
+        if o.level_mod > 1 and level > o.min_level:
+            level -= (level - o.min_level) % o.level_mod
+        return level
+
+    def _adjust_cell_levels(self, cells):
+        o = self.options
+        out = []
+        for cid in sorted(int(c) for c in cells):
+            cid = np.uint64(cid)
+            level = int(ci.level(cid))
+            new_level = self._adjust_level(min(level, o.max_level))
+            if new_level != level:
+                cid = ci.parent(cid, new_level)
+            if out and bool(ci.contains(np.uint64(out[-1]), cid)):
+                continue
+            while out and bool(ci.contains(cid, np.uint64(out[-1]))):
+                out.pop()
+            out.append(cid)
+        return out
+
+    def _new_candidate(self, cell, region, interior):
+        """(cell, is_terminal) or None (s2region_coverer.d:520-547)."""
+        if not region.may_intersect_cell(cell):
+            return None
+        is_terminal = False
+        o = self.options
+        if cell.level >= o.min_level:
+            if interior:
+                if region.contains_cell(cell):
+                    is_terminal = True
+                elif cell.level + o.level_mod > o.max_level:
+                    return None
+            else:
+                if cell.level + o.level_mod > o.max_level or \
+                        region.contains_cell(cell):
+                    is_terminal = True
+        return [cell, is_terminal, []]  # children filled by expand
+
+    def _expand_children(self, candidate, cell, num_levels, region, interior):
+        """(s2region_coverer.d:625-650): collect candidate children
+        num_levels below, counting terminals."""
+        num_levels -= 1
+        num_terminals = 0
+        for child_cell in cell.children():
+            if num_levels > 0:
+                if region.may_intersect_cell(child_cell):
+                    num_terminals += self._expand_children(
+                        candidate, child_cell, num_levels, region, interior)
+                continue
+            child = self._new_candidate(child_cell, region, interior)
+            if child is not None:
+                candidate[2].append(child)
+                if child[1]:
+                    num_terminals += 1
+        return num_terminals
+
+    def _get_covering_internal(self, region, interior):
+        o = self.options
+        pq = []  # (priority, seq, candidate) — seq = deterministic tiebreak
+        result = []
+        seq = [0]
+
+        def add_candidate(candidate):
+            if candidate is None:
+                return
+            cell, is_terminal, _ = candidate
+            if is_terminal:
+                result.append(cell.id)
+                return
+            num_levels = 1 if cell.level < o.min_level else o.level_mod
+            num_terminals = self._expand_children(candidate, cell, num_levels,
+                                                  region, interior)
+            num_children = len(candidate[2])
+            if num_children != 0 and not interior and \
+                    num_terminals == 1 << self._max_children_shift() and \
+                    cell.level >= o.min_level:
+                # All children terminal: emit the parent instead.
+                candidate[1] = True
+                add_candidate(candidate)
+            else:
+                shift = self._max_children_shift()
+                priority = -((((cell.level << shift) + num_children) << shift)
+                             + num_terminals)
+                heapq.heappush(pq, (priority, seq[0], candidate))
+                seq[0] += 1
+
+        # Initial candidates: fast covering of the cap bound (:652-664).
+        for cid in self.get_fast_covering(region):
+            add_candidate(self._new_candidate(Cell(cid), region, interior))
+
+        while pq and (not interior or len(result) < o.max_cells):
+            _, _, candidate = heapq.heappop(pq)
+            cell, _, children = candidate
+            # (s2region_coverer.d:678-699)
+            if interior or cell.level < o.min_level or len(children) == 1 \
+                    or len(result) + len(pq) + len(children) <= o.max_cells:
+                for child in children:
+                    if not interior or len(result) < o.max_cells:
+                        add_candidate(child)
+            else:
+                candidate[1] = True
+                candidate[2] = []
+                result.append(cell.id)
+
+        ids = cu.normalize(np.array([int(r) for r in result],
+                                    dtype=np.uint64))
+        if o.min_level > 0 or o.level_mod > 1:
+            ids = cu.denormalize(ids, o.min_level, o.level_mod)
+        return ids

@@ -1,0 +1,80 @@
+"""S2Polygon: loop hierarchy (shells at even depth, holes at odd depth) with
+xor-of-parities containment (src/s2/s2polygon.d:1551-1575) and the region
+interface used by the coverer (s2polygon.d:1541-1549)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .loop import Loop
+from .rect import LatLngRect
+
+
+class Polygon:
+    """loops: list[Loop]; containment = xor over all loops' parities, which
+    matches the reference for nested shell/hole hierarchies."""
+
+    __slots__ = ("loops", "bound")
+
+    def __init__(self, loops):
+        assert loops
+        self.loops = list(loops)
+        b = LatLngRect.empty()
+        for lp in self.loops:
+            # Holes don't extend the bound, but unioning them is harmless
+            # and conservative.
+            b = b.union(lp.bound)
+        self.bound = b
+
+    @classmethod
+    def from_rings_latlng(cls, rings):
+        """rings: list of (lats_deg, lons_deg) arrays; ring 0 = shell,
+        subsequent rings = holes (depth 1)."""
+        loops = []
+        for d, (lats, lons) in enumerate(rings):
+            loops.append(Loop.from_latlng_degrees(lats, lons,
+                                                  depth=0 if d == 0 else 1))
+        return cls(loops)
+
+    def contains_points(self, points):
+        """Vectorized exact PIP: xor of loop parities (s2polygon.d:1551-1575).
+
+        points: (m, 3) unit vectors -> bool (m,).
+        """
+        p = np.asarray(points, dtype=np.float64)
+        inside = np.zeros(len(p), dtype=bool)
+        for lp in self.loops:
+            inside ^= lp.contains_points(p)
+        return inside
+
+    def contains_point(self, p):
+        return bool(self.contains_points(np.asarray(p)[None, :])[0])
+
+    # -- region interface (coverer) -------------------------------------
+    def may_intersect_cell(self, cell):
+        if not self.bound.may_intersect_cell(cell):
+            return False
+        if self.contains_point(cell.center()):
+            return True
+        for lp in self.loops:
+            if cell.contains_point(tuple(lp.vertices[0])):
+                return True
+            if lp._edges_cross_cell(cell):
+                return True
+        return False
+
+    def contains_cell(self, cell):
+        if not self.contains_point(cell.center()):
+            return False
+        for lp in self.loops:
+            if cell.contains_point(tuple(lp.vertices[0])):
+                return False
+            if lp._edges_cross_cell(cell):
+                return False
+        return True
+
+    def get_cap_bound(self):
+        return self.bound.get_cap_bound()
+
+    def num_vertices(self):
+        return sum(len(lp.vertices) for lp in self.loops)

