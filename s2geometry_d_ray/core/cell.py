@@ -1,61 +1,78 @@
 """Scalar S2Cell: decoded cell geometry used by the coverer and region
 predicates. Reimplements ``src/s2/s2cell.d`` (uv bounds, vertices, edge
-normals, closed point containment, cap/rect bounds)."""
+normals, closed point containment, cap/rect bounds).
+
+Hot path for the coverer: everything here is plain-Python scalar math
+(no numpy per-call overhead); vertices are computed lazily and cached."""
 
 from __future__ import annotations
 
-import numpy as np
+import math
 
 from . import cellid as ci
-from . import coords
+from .coords import LIMIT_IJ, face_uv_to_xyz_scalar
 from .predicates import DBL_EPSILON
 
 # Inward-facing edge normals (s2coords.d:294-318 GetUNorm/GetVNorm).
 
 
 def _get_u_norm(face, u):
-    return [( u, -1.0, 0.0), (1.0, u, 0.0), (1.0, 0.0, u),
-            (-u, 0.0, 1.0), (0.0, -u, 1.0), (0.0, -1.0, -u)][face]
+    return ((u, -1.0, 0.0), (1.0, u, 0.0), (1.0, 0.0, u),
+            (-u, 0.0, 1.0), (0.0, -u, 1.0), (0.0, -1.0, -u))[face]
 
 
 def _get_v_norm(face, v):
-    return [(-v, 0.0, 1.0), (0.0, -v, 1.0), (0.0, -1.0, -v),
-            ( v, -1.0, 0.0), (1.0, v, 0.0), (1.0, 0.0, v)][face]
+    return ((-v, 0.0, 1.0), (0.0, -v, 1.0), (0.0, -1.0, -v),
+            (v, -1.0, 0.0), (1.0, v, 0.0), (1.0, 0.0, v))[face]
+
+
+def _st_to_uv(s):
+    """Scalar quadratic projection (s2coords.d:433-440)."""
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
 
 
 class Cell:
-    """Decoded cell: face, level, uv rect; 48-byte equivalent of s2cell.d:46."""
+    """Decoded cell: face, level, uv rect (s2cell.d:46-110)."""
 
-    __slots__ = ("id", "face", "level", "u_lo", "u_hi", "v_lo", "v_hi")
+    __slots__ = ("id", "face", "level", "u_lo", "u_hi", "v_lo", "v_hi",
+                 "_verts")
 
     def __init__(self, cell_id):
-        cid = np.uint64(cell_id)
+        cid = int(cell_id)
         self.id = cid
-        face, i, j = ci.to_face_ij(np.uint64([cid]))
-        self.face = int(face[0])
-        self.level = int(ci.level(np.uint64([cid]))[0])
+        face, i, j = ci.to_face_ij_scalar(cid)
+        self.face = face
+        self.level = ci.level_scalar(cid)
         size = 1 << (ci.MAX_LEVEL - self.level)
-        i0 = int(i[0]) & -size
-        j0 = int(j[0]) & -size
-        self.u_lo = float(coords.st_to_uv(coords.ij_to_st_min(i0)))
-        self.u_hi = float(coords.st_to_uv(coords.ij_to_st_min(i0 + size)))
-        self.v_lo = float(coords.st_to_uv(coords.ij_to_st_min(j0)))
-        self.v_hi = float(coords.st_to_uv(coords.ij_to_st_min(j0 + size)))
+        i0 = i & -size
+        j0 = j & -size
+        scale = 1.0 / LIMIT_IJ
+        self.u_lo = _st_to_uv(scale * i0)
+        self.u_hi = _st_to_uv(scale * (i0 + size))
+        self.v_lo = _st_to_uv(scale * j0)
+        self.v_hi = _st_to_uv(scale * (j0 + size))
+        self._verts = None
 
     def vertex_raw(self, k):
         """CCW corner k of the uv rect projected to xyz (s2cell.d:152-154)."""
         u = (self.u_lo, self.u_hi, self.u_hi, self.u_lo)[k & 3]
         v = (self.v_lo, self.v_lo, self.v_hi, self.v_hi)[k & 3]
-        x, y, z = coords.face_uv_to_xyz(self.face, u, v)
-        return (float(x), float(y), float(z))
+        return face_uv_to_xyz_scalar(self.face, u, v)
 
     def vertex(self, k):
-        x, y, z = self.vertex_raw(k)
-        n = np.sqrt(x * x + y * y + z * z)
-        return (x / n, y / n, z / n)
+        return self.vertices()[k & 3]
 
     def vertices(self):
-        return [self.vertex(k) for k in range(4)]
+        if self._verts is None:
+            out = []
+            for k in range(4):
+                x, y, z = self.vertex_raw(k)
+                n = math.sqrt(x * x + y * y + z * z)
+                out.append((x / n, y / n, z / n))
+            self._verts = out
+        return self._verts
 
     def edge_raw(self, k):
         """Inward-facing normal of edge k->k+1 (s2cell.d:166-173)."""
@@ -73,21 +90,35 @@ class Cell:
     def center(self):
         u = 0.5 * (self.u_lo + self.u_hi)
         v = 0.5 * (self.v_lo + self.v_hi)
-        x, y, z = coords.face_uv_to_xyz(self.face, u, v)
-        n = np.sqrt(x * x + y * y + z * z)
-        return (float(x / n), float(y / n), float(z / n))
+        x, y, z = face_uv_to_xyz_scalar(self.face, u, v)
+        n = math.sqrt(x * x + y * y + z * z)
+        return (x / n, y / n, z / n)
 
     def contains_point(self, p):
         """Closed-cell containment with the DBL_EPSILON uv expansion
         (s2cell.d:613-629)."""
-        face_axis = self.face % 3
-        comp = p[face_axis]
-        if self.face < 3:
+        face = self.face
+        axis = face % 3
+        comp = p[axis]
+        if face < 3:
             if comp <= 0:
                 return False
         elif comp >= 0:
             return False
-        u, v = coords.valid_face_xyz_to_uv(self.face, p[0], p[1], p[2])
+        # Scalar valid_face_xyz_to_uv (s2coords.d:193-206).
+        x, y, z = p[0], p[1], p[2]
+        if face == 0:
+            u, v = y / x, z / x
+        elif face == 1:
+            u, v = -x / y, z / y
+        elif face == 2:
+            u, v = -x / z, -y / z
+        elif face == 3:
+            u, v = z / x, y / x
+        elif face == 4:
+            u, v = z / y, -x / y
+        else:
+            u, v = -y / z, -x / z
         eps = DBL_EPSILON
         return (self.u_lo - eps <= u <= self.u_hi + eps and
                 self.v_lo - eps <= v <= self.v_hi + eps)
@@ -95,21 +126,22 @@ class Cell:
     def cap_bound(self):
         """Bounding cap from the uv center (s2cell.d:482-498)."""
         from .cap import Cap
-        center = self.center()
-        cap = Cap.from_point(center)
-        for k in range(4):
-            cap.add_point(self.vertex(k))
+        cap = Cap.from_point(self.center())
+        for v in self.vertices():
+            cap.add_point(v)
         return cap
 
     def children(self):
-        out = []
-        for pos in range(4):
-            out.append(Cell(ci.child(np.uint64([self.id]), pos)[0]))
-        return out
+        return [Cell(ci.child_scalar(self.id, pos)) for pos in range(4)]
 
     def contains_cell(self, other):
-        return bool(ci.contains(np.uint64([self.id]), np.uint64([other.id]))[0])
+        lsb = ci.lsb_scalar(self.id)
+        return self.id - (lsb - 1) <= int(other.id) <= self.id + (lsb - 1)
 
     def may_intersect_cell(self, other):
-        return bool(ci.intersects(np.uint64([self.id]),
-                                  np.uint64([other.id]))[0])
+        a, b = self.id, int(other.id)
+        la, lb = ci.lsb_scalar(a), ci.lsb_scalar(b)
+        return b - (lb - 1) <= a + (la - 1) and b + (lb - 1) >= a - (la - 1)
+
+    def get_cap_bound(self):
+        return self.cap_bound()

@@ -71,6 +71,66 @@ def _build_lookup_tables():
 
 
 LOOKUP_POS, LOOKUP_IJ = _build_lookup_tables()
+# Python-list copies for the scalar fast paths (no numpy overhead).
+_LOOKUP_POS_L = LOOKUP_POS.tolist()
+_LOOKUP_IJ_L = LOOKUP_IJ.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Scalar fast paths (plain Python ints) for object-heavy callers like the
+# coverer's Cell class — ~50x cheaper than 1-element numpy arrays.
+# ---------------------------------------------------------------------------
+
+def to_face_ij_scalar(cell_id):
+    """Scalar id -> (face, i, j)."""
+    cid = int(cell_id)
+    face = cid >> POS_BITS
+    bits = face & SWAP_MASK
+    i = j = 0
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * LOOKUP_BITS) if k == 7 else LOOKUP_BITS
+        bits += ((cid >> (k * 2 * LOOKUP_BITS + 1))
+                 & ((1 << (2 * nbits)) - 1)) << 2
+        bits = _LOOKUP_IJ_L[bits]
+        i += (bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS)
+        bits &= (SWAP_MASK | INVERT_MASK)
+    return face, i, j
+
+
+def from_face_ij_scalar(face, i, j):
+    n = face << (POS_BITS - 1)
+    bits = face & SWAP_MASK
+    mask = (1 << LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        bits += ((i >> (k * LOOKUP_BITS)) & mask) << (LOOKUP_BITS + 2)
+        bits += ((j >> (k * LOOKUP_BITS)) & mask) << 2
+        bits = _LOOKUP_POS_L[bits]
+        n |= (bits >> 2) << (k * 2 * LOOKUP_BITS)
+        bits &= (SWAP_MASK | INVERT_MASK)
+    return n * 2 + 1
+
+
+def level_scalar(cell_id):
+    cid = int(cell_id)
+    return MAX_LEVEL - ((cid & -cid).bit_length() - 1) // 2
+
+
+def lsb_scalar(cell_id):
+    cid = int(cell_id)
+    return cid & -cid
+
+
+def parent_scalar(cell_id, lvl):
+    cid = int(cell_id)
+    new_lsb = 1 << (2 * (MAX_LEVEL - lvl))
+    return (cid & -new_lsb) | new_lsb
+
+
+def child_scalar(cell_id, pos):
+    cid = int(cell_id)
+    new_lsb = (cid & -cid) >> 2
+    return cid + (2 * pos - 3) * new_lsb
 
 
 # ---------------------------------------------------------------------------

@@ -137,8 +137,27 @@ def xyz_to_face_uv(x, y, z):
     return face, u, v
 
 
+def face_uv_to_xyz_scalar(face, u, v):
+    """Scalar fast path (plain Python, ~50x cheaper than 1-element numpy)."""
+    u = float(u)
+    v = float(v)
+    if face == 0:
+        return (1.0, u, v)
+    if face == 1:
+        return (-u, 1.0, v)
+    if face == 2:
+        return (-u, -v, 1.0)
+    if face == 3:
+        return (-1.0, -v, -u)
+    if face == 4:
+        return (v, -1.0, -u)
+    return (v, u, -1.0)
+
+
 def face_uv_to_xyz(face, u, v):
     """(face,u,v) -> direction vector (not unit length). s2coords.d:157-166."""
+    if np.ndim(face) == 0 and np.ndim(u) == 0:
+        return face_uv_to_xyz_scalar(int(face), u, v)
     face = np.asarray(face)
     u = np.asarray(u, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)

@@ -28,7 +28,7 @@ class Loop:
     """vertices: (n, 3) float64 unit vectors, CCW order = interior on left."""
 
     __slots__ = ("vertices", "origin_inside", "bound", "_edge_normals",
-                 "_normal_dot_origin", "depth")
+                 "_normal_dot_origin", "depth", "_next", "_vT_ext", "_nT")
 
     def __init__(self, vertices, depth=0):
         v = np.asarray(vertices, dtype=np.float64)
@@ -40,8 +40,15 @@ class Loop:
         # Edge normals N_i = v_i x v_{i+1} (wrapping), precomputed for the
         # vectorized PIP matmuls.
         nxt = np.roll(v, -1, axis=0)
+        self._next = nxt
         self._edge_normals = np.cross(v, nxt)
         self._normal_dot_origin = self._edge_normals @ np.asarray(ORIGIN)
+        # Contiguous transposed copies so the per-batch matmuls are pure
+        # GEMM with zero reshuffling; _vT_ext has v[0] appended so that
+        # s(a,b,v_i) and s(a,b,v_{i+1}) are adjacent column VIEWS.
+        self._vT_ext = np.ascontiguousarray(
+            np.concatenate([v, v[:1]], axis=0).T)
+        self._nT = np.ascontiguousarray(self._edge_normals.T)
         self.origin_inside = self._init_origin_inside()
         self.bound = self._compute_bound()
 
@@ -85,15 +92,20 @@ class Loop:
         points: (m, 3). Returns bool (m,).
         """
         v = self.vertices
-        n = self._edge_normals
         p = np.asarray(points, dtype=np.float64)
-        o = np.asarray(ORIGIN)
-        cross_op = np.cross(np.broadcast_to(o, p.shape), p)  # (m,3)
-        # s_abc[m,i] = sign(O, p_m, v_i); s_abd uses v_{i+1}
-        m_ov = cross_op @ v.T                                # (m, nv)
-        s_abc = m_ov
-        s_abd = np.roll(m_ov, -1, axis=1)
-        s_cdb = p @ n.T                                      # sign(C,D,p)
+        ox, oy, oz = ORIGIN
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        # cross_op = ORIGIN x p, written out (np.cross has high overhead)
+        cross_op = np.empty_like(p)
+        cross_op[:, 0] = oy * pz - oz * py
+        cross_op[:, 1] = oz * px - ox * pz
+        cross_op[:, 2] = ox * py - oy * px
+        # s_abc[m,i] = sign(O, p_m, v_i); s_abd uses v_{i+1} — adjacent
+        # column views of the extended matmul output.
+        m_ov = cross_op @ self._vT_ext                       # (m, nv+1)
+        s_abc = m_ov[:, :-1]
+        s_abd = m_ov[:, 1:]
+        s_cdb = p @ self._nT                                 # sign(C,D,p)
         s_cda = np.broadcast_to(self._normal_dot_origin, s_cdb.shape)
 
         err = MAX_DET_ERROR
@@ -107,7 +119,7 @@ class Loop:
 
         if uncertain.any():
             rows, cols = np.nonzero(uncertain)
-            nxt = np.roll(v, -1, axis=0)
+            nxt = self._next
             for r, c in zip(rows.tolist(), cols.tolist()):
                 pt = tuple(p[r])
                 if edge_or_vertex_crossing(ORIGIN, pt, tuple(v[c]),
@@ -179,10 +191,10 @@ class Loop:
         (uncertain => treated as crossing; safe for coverings).
         """
         v = self.vertices
-        nxt = np.roll(v, -1, axis=0)
+        nxt = self._next
         n = self._edge_normals
         cv = np.asarray(cell.vertices())  # (4,3)
-        cn = np.cross(cv, np.roll(cv, -1, axis=0))  # cell edge normals (4,3)
+        cn = np.cross(cv, cv[[1, 2, 3, 0]])  # cell edge normals (4,3)
         for k in range(4):
             c0, c1, nk = cv[k], cv[(k + 1) & 3], cn[k]
             s1 = v @ nk          # sign(C,D,A_i)

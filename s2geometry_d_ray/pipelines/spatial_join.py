@@ -1,0 +1,179 @@
+"""The flagship pipeline: geocode pages -> S2-encode -> cell-prefix join vs
+polygon coverings -> exact PIP refinement -> join rows + tile assignments.
+
+Ray-Data-first dataflow (north_rule):
+  pages Dataset (url, warc_ts, html, text, lang)
+    -> select_columns (drop the heavy html BEFORE any compute)
+    -> map_batches(parse_latlon + encode_cells)        [stateless, Arrow]
+    -> map_batches(JoinRefine, concurrency=N)          [actor pool, holds
+       the broadcast polygon covering index + geometry]
+    -> write_parquet / aggregate
+
+Tiling: tiles(level k) = project (url, cell_l{k}, token).
+
+The polygon side is a BROADCAST dimension table (one ray.put); nothing
+shuffles. For a large polygon side use shuffle_join() below which exploded-
+joins on the level-k cell key via groupby, with optional salting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import cellid as ci
+from ..sources.pages import pages_dataset
+from ..sources.polygons import make_polygons
+from ..stages.geocode import geocode_and_encode, drop_misses
+from ..stages.join import JoinRefine, build_polygon_index
+from ..state.broadcast import broadcast
+
+PAGE_COLUMNS = ["url", "text", "lang"]  # html projected out early
+
+
+def geocoded_pages(pages_ds, levels=tuple(range(10, 17))):
+    """pages Dataset -> geocoded + cell-encoded Dataset (misses dropped)."""
+    cols = [c for c in PAGE_COLUMNS if c in pages_ds.schema().names]
+    ds = pages_ds.select_columns(cols)
+    ds = ds.map_batches(lambda b: geocode_and_encode(b, levels),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=65536)
+    return ds.map_batches(drop_misses, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def spatial_join(pages_ds, polygons, concurrency=4, exact=True,
+                 drop_uncontained=False):
+    """Returns a Dataset of join rows (url, polygon_id, cell_id, contained).
+
+    polygons: list of {'polygon_id', 'polygon'} records (the small side).
+    """
+    index = build_polygon_index(polygons)
+    ref = broadcast(index)
+    ds = geocoded_pages(pages_ds)
+    joined = ds.map_batches(JoinRefine, fn_constructor_args=(ref, exact),
+                            batch_format="pyarrow", batch_size=65536,
+                            concurrency=concurrency, num_cpus=1)
+    if drop_uncontained:
+        import pyarrow.compute as pc
+        joined = joined.map_batches(
+            lambda t: t.filter(pc.equal(t["contained"], True)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return joined
+
+
+def tiles(pages_ds, level=12):
+    """Tile assignment: (url, tile_id, token) at the given level."""
+    ds = geocoded_pages(pages_ds, levels=(level,))
+
+    def project(batch: pa.Table) -> pa.Table:
+        tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
+        tok = ci.to_token(tile)
+        return pa.table({
+            "url": batch["url"],
+            "tile_id": pa.array(tile, pa.uint64()),
+            "token": pa.array(tok, pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def tile_counts(pages_ds, level=12):
+    """Pages per tile: partial count inside map_batches then a tiny groupby
+    (pre-aggregation pattern — the shuffle moves one row per (block, tile),
+    not one row per page)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(tile, return_counts=True)
+        return pa.table({"tile_id": pa.array(u, pa.uint64()),
+                         "partial_count": pa.array(c, pa.int64())})
+
+    ds = geocoded_pages(pages_ds, levels=(level,))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+    return partials.groupby("tile_id").aggregate(
+        Sum("partial_count", alias_name="n_pages"))
+
+
+def flagship(n_pages=5000, n_polygons=50, concurrency=4, seed=42):
+    """entry() pipeline: synthetic pages at small scale -> join rows."""
+    pages = pages_dataset(n_pages, seed=seed)
+    polys = make_polygons(n_polygons, seed=seed)
+    return spatial_join(pages, polys, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-join variant for a LARGE polygon side (documents the partitioned
+# hash-join pattern; not the default because our polygon side is small).
+# ---------------------------------------------------------------------------
+
+def shuffle_join(pages_ds, polygons, join_level=12, num_salts=4):
+    """Explode polygon coverings to level-k cells, hash-partition both sides
+    on (cell, salt) via groupby, and refine per group.
+
+    Salting: each page row gets salt = hash(url) % num_salts; polygon
+    covering rows are replicated across all salts (small side), so hot
+    cells (cities) split across num_salts groups. Partitioning key
+    reused across stages: the level-k cell id."""
+    import pandas as pd
+
+    index = build_polygon_index(polygons, min_level=join_level,
+                                max_level=join_level,
+                                max_cells=64)
+    # Build the exploded polygon-side table: (cell_l{k}, polygon_id, salt).
+    rows = []
+    lv = index["levels"].get(join_level)
+    if lv is not None:
+        for i, cell in enumerate(lv["ucells"].tolist()):
+            for k in range(lv["starts"][i], lv["ends"][i]):
+                for salt in range(num_salts):
+                    rows.append((cell, int(lv["pids"][k]), salt,
+                                 bool(lv["flags"][k])))
+    poly_df = pd.DataFrame(rows, columns=["cell", "polygon_id", "salt",
+                                          "interior"])
+    polygons_by_id = {rec["polygon_id"]: rec["polygon"] for rec in polygons}
+    ref = broadcast(polygons_by_id)
+
+    ds = geocoded_pages(pages_ds, levels=(join_level,))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        cell = batch[f"cell_l{join_level}"]
+        # Salt from the leaf id's fine-grained bits: deterministic and
+        # splits the points WITHIN a hot cell across num_salts groups.
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False)
+        salt = ((leaf >> np.uint64(1)) % np.uint64(num_salts)).astype(np.int64)
+        batch = batch.append_column("cell", cell)
+        return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+
+    from ..core import coords as _coords
+    from ..state.broadcast import fetch as _fetch
+
+    def refine_group(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].iloc[0]
+        salt = g["salt"].iloc[0]
+        cand = poly_df[(poly_df["cell"] == cell) & (poly_df["salt"] == salt)]
+        if cand.empty:
+            return pd.DataFrame({"url": [], "polygon_id": [],
+                                 "contained": []})
+        polys = _fetch(ref)
+        out = []
+        x, y, z = _coords.latlng_to_xyz(g["lat"].to_numpy(),
+                                        g["lon"].to_numpy())
+        pts = np.stack([x, y, z], axis=1)
+        for _, crow in cand.iterrows():
+            if crow["interior"]:
+                contained = np.ones(len(g), dtype=bool)
+            else:
+                contained = polys[crow["polygon_id"]].contains_points(pts)
+            out.append(pd.DataFrame({
+                "url": g["url"].to_numpy(),
+                "polygon_id": crow["polygon_id"],
+                "contained": contained}))
+        return pd.concat(out, ignore_index=True)
+
+    return ds.groupby(["cell", "salt"]).map_groups(refine_group,
+                                                   batch_format="pandas")

@@ -1,0 +1,157 @@
+"""The cell-prefix-range hash join between pages and polygons.
+
+Polygon prep (small dimension side, SURVEY.md §4 'broadcast small side'):
+  each polygon -> exterior covering + interior covering at levels 10-16
+  (RegionCoverer, max_cells=8), flattened into per-level sorted uint64
+  arrays -> one ray.put broadcast blob read zero-copy by every actor.
+
+Page side: an actor pool (`JoinRefine`) looks up each page's level-k
+ancestor in the per-level covering index (np.searchsorted), short-circuits
+interior-covering hits to contained=true (no exact test, matching
+s2region_coverer.d:262-268 interior-covering semantics), and runs the
+vectorized exact PIP (xor of loop parities, s2polygon.d:1551-1575) for
+boundary-cell candidates only.
+
+This replaces an all-to-all shuffle join: the polygon side is broadcast,
+the page side streams. The shuffle variant for a LARGE polygon side lives
+in pipelines/spatial_join.py (explode + groupby on the cell key, salted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import cellid as ci
+from ..core import coords
+from ..core.coverer import RegionCoverer
+from ..state.broadcast import fetch
+
+JOIN_LEVELS = tuple(range(10, 17))
+
+
+def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
+                        interior_max_cells=32):
+    """polygons: list of {'polygon_id': int, 'polygon': Polygon}.
+
+    Returns a picklable index dict:
+      level -> dict(cells=sorted uint64[], start/end offsets into
+                    poly_ids[], interior flags[])
+      plus 'polygons': {polygon_id: Polygon} for the exact refinement.
+    """
+    rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
+                       max_level=max_level)
+    rci = RegionCoverer(max_cells=interior_max_cells, min_level=min_level,
+                        max_level=max_level)
+    rows = []  # (cell, polygon_id, is_interior)
+    for rec in polygons:
+        pid = rec["polygon_id"]
+        poly = rec["polygon"]
+        cov = rc.get_covering(poly)
+        interior = set(int(c) for c in rci.get_interior_covering(poly))
+        # Exterior covering cells that are fully interior can short-circuit;
+        # mark a covering cell interior when the interior covering contains it.
+        from ..core import cellunion as cu
+        int_arr = np.array(sorted(interior), dtype=np.uint64)
+        if len(int_arr):
+            flags = cu.contains_ids(int_arr, cov)
+        else:
+            flags = np.zeros(len(cov), dtype=bool)
+        for c, f in zip(cov.tolist(), flags.tolist()):
+            rows.append((int(c), pid, bool(f)))
+        # Also index interior cells NOT part of the exterior covering set?
+        # Not needed: the exterior covering is a superset region-wise.
+    by_level = {}
+    for lvl in range(min_level, max_level + 1):
+        lv_rows = [(c, p, f) for (c, p, f) in rows
+                   if int(ci.level(np.uint64(c))) == lvl]
+        if not lv_rows:
+            continue
+        lv_rows.sort()
+        cells = np.array([r[0] for r in lv_rows], dtype=np.uint64)
+        pids = np.array([r[1] for r in lv_rows], dtype=np.int64)
+        flags = np.array([r[2] for r in lv_rows], dtype=bool)
+        # Unique cells with ranges (a cell can belong to several polygons).
+        ucells, starts = np.unique(cells, return_index=True)
+        ends = np.append(starts[1:], len(cells))
+        by_level[lvl] = {"ucells": ucells, "starts": starts, "ends": ends,
+                         "pids": pids, "flags": flags}
+    return {"levels": by_level,
+            "polygons": {rec["polygon_id"]: rec["polygon"]
+                         for rec in polygons},
+            "min_level": min_level, "max_level": max_level}
+
+
+class JoinRefine:
+    """Actor-pool stage: pages batch in -> join rows out.
+
+    __init__ runs once per actor (index fetch from the object store);
+    __call__ is the per-batch vectorized kernel. Use with
+    ds.map_batches(JoinRefine, fn_constructor_args=(ref,),
+                   batch_format=\"pyarrow\", concurrency=N)."""
+
+    def __init__(self, index_ref, exact=True):
+        self.index = fetch(index_ref)
+        self.exact = exact
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lvls = self.index["levels"]
+        urls = batch["url"]
+        out_url = []
+        out_pid = []
+        out_cell = []
+        out_interior = []
+        out_rowidx = []
+        for lvl, idx in lvls.items():
+            col = batch[f"cell_l{lvl}"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(idx["ucells"], col)
+            pos_c = np.minimum(pos, len(idx["ucells"]) - 1)
+            hit = (idx["ucells"][pos_c] == col) & (col != 0)
+            if not hit.any():
+                continue
+            hit_rows = np.nonzero(hit)[0]
+            s = idx["starts"][pos[hit_rows]]
+            e = idx["ends"][pos[hit_rows]]
+            counts = e - s
+            total = int(counts.sum())
+            # Flattened [s_i, e_i) ranges without a Python loop.
+            base = np.repeat(s, counts)
+            local = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            k = base + local
+            out_rowidx.append(np.repeat(hit_rows, counts))
+            out_pid.append(idx["pids"][k])
+            out_interior.append(idx["flags"][k])
+        if not out_rowidx:
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "polygon_id": pa.array([], pa.int64()),
+                "cell_id": pa.array([], pa.uint64()),
+                "contained": pa.array([], pa.bool_()),
+            })
+        rowidx = np.concatenate(out_rowidx).astype(np.int64)
+        pid = np.concatenate(out_pid).astype(np.int64)
+        interior = np.concatenate(out_interior).astype(bool)
+        cell_leaf = batch["cell_id"].to_numpy(zero_copy_only=False)[rowidx]
+
+        contained = interior.copy()
+        if self.exact:
+            need = ~interior
+            if need.any():
+                lat = batch["lat"].to_numpy(zero_copy_only=False)[rowidx]
+                lon = batch["lon"].to_numpy(zero_copy_only=False)[rowidx]
+                x, y, z = coords.latlng_to_xyz(lat, lon)
+                pts = np.stack([x, y, z], axis=1)
+                # Group boundary candidates by polygon -> one vectorized
+                # PIP call per polygon present in the batch.
+                for p in np.unique(pid[need]).tolist():
+                    sel = need & (pid == p)
+                    poly = self.index["polygons"][p]
+                    contained[sel] = poly.contains_points(pts[sel])
+        out_url = urls.take(pa.array(rowidx))
+        return pa.table({
+            "url": out_url,
+            "polygon_id": pa.array(pid, pa.int64()),
+            "cell_id": pa.array(cell_leaf, pa.uint64()),
+            "contained": pa.array(contained, pa.bool_()),
+        })
