@@ -1,44 +1,53 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship spatial-join pipeline (synthetic Common-Crawl-style
+pages per input_hint -> geocode -> S2 encode -> cell-prefix join vs
+polygon coverings -> exact PIP refinement) at sf0.001 scale.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries(): one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data family; each takes sf_dir.
+
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query;
+S2-specific / sketch operators are registered without oracles (the
+driver records rows-only checks; their exactness oracles are the
+brute-force comparisons in tests/).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s2geometry_d_ray.pipelines import geo_queries as _geo
+from s2geometry_d_ray.pipelines import relational as _rel
+from s2geometry_d_ray.pipelines import training_data as _td
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
+    from s2geometry_d_ray.pipelines.spatial_join import flagship
+    ds = flagship(n_pages=5000, n_polygons=30, concurrency=4)
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_geo.QUERIES)
+    out.update(_rel.QUERIES)
+    out.update(_td.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_geo.ORACLE)
+    out.update(_rel.ORACLE)
+    out.update(_td.ORACLE)
+    return out

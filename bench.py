@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+Headline: the flagship spatial-join + tiling pipeline over synthetic
+Common-Crawl-style pages scaled to the sf of $GRAFT_SF_DIR (default
+/root/testdata/sf0.1 -> 500k pages, 100 polygons), plus representative
+query timings over the sf_dir tables.
+
+--scaling: runs the headline twice in fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports throughputs +
+scaling efficiency (the sandbox substitute for the N vs 4N node
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.spatial_join import (spatial_join,
+                                                         tile_counts)
+    from s2geometry_d_ray.sources.pages import pages_dataset
+    from s2geometry_d_ray.sources.polygons import make_polygons
+    from s2geometry_d_ray.stages.join import build_polygon_index
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # sf0.1 -> 5000 docs -> 500k pages; pages scale 100x docs.
+    n_pages = n_docs * 100
+    n_polygons = 100
+
+    timings: dict[str, float] = {}
+
+    # Warm the page-generation + geocode path once (OS cache + imports in
+    # workers) so the timed run measures compute, not cold start.
+    pages_dataset(min(20000, n_pages)).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+
+    # Polygon prep (small side; one-time, included in headline).
+    t0 = time.perf_counter()
+    polys = make_polygons(n_polygons, seed=42)
+    index_sec = time.perf_counter() - t0
+    timings["polygon_prep"] = round(index_sec, 3)
+
+    # Headline: pages -> geocode -> encode -> join+refine -> count.
+    t0 = time.perf_counter()
+    pages = pages_dataset(n_pages)
+    join_ds = spatial_join(pages, polys)
+    n_join_rows = join_ds.count()
+    headline = time.perf_counter() - t0
+    timings["spatial_join"] = round(headline, 3)
+
+    # Tiling throughput (level-12 tile counts).
+    t0 = time.perf_counter()
+    tc = tile_counts(pages_dataset(n_pages), level=12)
+    n_tiles = tc.count()
+    timings["tiling"] = round(time.perf_counter() - t0, 3)
+
+    # Representative oracle queries over sf_dir.
+    import __ray_entry__ as em
+    qs = em.queries()
+    for name in ["q1_pricing_summary", "q5_nation_revenue", "events_hourly",
+                 "events_sessions", "dedup_exact", "token_counts",
+                 "ann_cosine_topk", "geo_knn", "geo_grid_tile_count",
+                 "minhash_lsh_pairs"]:
+        t0 = time.perf_counter()
+        r = qs[name](sf_dir)
+        if hasattr(r, "to_pandas"):
+            r = r.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total_pipeline = timings["spatial_join"] + timings["tiling"]
+    result = {
+        "metric": "spatial_join+tiling wall time (synthetic pages, "
+                  "S2 levels 10-16)",
+        "value": round(total_pipeline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_polygons": n_polygons,
+        "n_join_rows": int(n_join_rows),
+        "n_tiles": int(n_tiles),
+        "pages_per_sec": round(n_pages / timings["spatial_join"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo = run_subprocess(8)
+        hi = run_subprocess(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+            "sec_8": lo["value"], "sec_32": hi["value"],
+            "pages_per_sec_8": lo["pages_per_sec"],
+            "pages_per_sec_32": hi["pages_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": sf_dir,
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

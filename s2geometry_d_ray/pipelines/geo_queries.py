@@ -1,0 +1,268 @@
+"""Geo query family over sf_dir tables.
+
+To make spatial results oracle-checkable in DuckDB (which has no S2), the
+point set is derived DETERMINISTICALLY from documents.doc_id with integer
+arithmetic reproduced verbatim in the oracle SQL:
+
+    lat = ((doc_id * 7919)   % 18000) / 100.0 - 90.0
+    lon = ((doc_id * 104729) % 36000) / 100.0 - 180.0
+
+Integer-derived doubles are bit-identical across numpy and DuckDB, so
+filters/joins/grid tiles hash-match exactly. S2-specific operators
+(cell encode, coverings, tile tokens) have no SQL equivalent and are
+registered without an oracle (rows-only check) but are PIP/invariant
+tested in tests/."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import cellid as ci
+
+GEO_LAT_EXPR = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+GEO_LON_EXPR = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _docs(sf_dir, columns=("doc_id",)):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=list(columns))
+
+
+def _add_latlon(batch: pa.Table) -> pa.Table:
+    did = batch["doc_id"].to_numpy(zero_copy_only=False)
+    lat = ((did * 7919) % 18000) / 100.0 - 90.0
+    lon = ((did * 104729) % 36000) / 100.0 - 180.0
+    batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return batch.append_column("lon", pa.array(lon, pa.float64()))
+
+
+def geo_points(sf_dir):
+    """(doc_id, lat, lon) — the deterministic point table."""
+    return _docs(sf_dir).map_batches(_add_latlon, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def geo_bbox_filter(sf_dir):
+    """Points inside lat [20,60] x lon [-10,40] (vectorized bbox filter)."""
+    def filt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch["lat"], 20.0),
+                    pc.less_equal(batch["lat"], 60.0)),
+            pc.and_(pc.greater_equal(batch["lon"], -10.0),
+                    pc.less_equal(batch["lon"], 40.0)))
+        return batch.filter(m)
+    return geo_points(sf_dir).map_batches(filt, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+# Deterministic per-nation rects (reproduced in SQL):
+#   lat_lo = (n_nationkey * 37) % 120 - 60,  lat_hi = lat_lo + 15
+#   lon_lo = (n_nationkey * 73) % 300 - 150, lon_hi = lon_lo + 30
+def geo_rect_join(sf_dir):
+    """Point-in-rect join: (doc_id, rect_id) for every point inside a
+    nation-derived rect. The rect side is broadcast (small dim table)."""
+    import ray.data as rd
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    keys = nat["n_nationkey"].to_numpy()
+    lat_lo = (keys * 37) % 120 - 60.0
+    lon_lo = (keys * 73) % 300 - 150.0
+    rects = np.stack([keys.astype(np.float64), lat_lo, lat_lo + 15.0,
+                      lon_lo, lon_lo + 30.0], axis=1)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = ((lat[:, None] >= rects[None, :, 1])
+               & (lat[:, None] <= rects[None, :, 2])
+               & (lon[:, None] >= rects[None, :, 3])
+               & (lon[:, None] <= rects[None, :, 4]))
+        rows, cols = np.nonzero(hit)
+        return pa.table({
+            "doc_id": pa.array(did[rows], pa.int64()),
+            "rect_id": pa.array(rects[cols, 0].astype(np.int64), pa.int64()),
+        })
+
+    return geo_points(sf_dir).map_batches(join, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def geo_grid_tile_count(sf_dir):
+    """Pages per 5-degree grid tile, pre-aggregated inside map_batches."""
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        ty = np.floor(lat / 5.0).astype(np.int64)
+        tx = np.floor(lon / 5.0).astype(np.int64)
+        # Offset both to non-negative before packing (ty in [-18,18),
+        # tx in [-36,36)) so the unpack round-trips negatives.
+        key = (ty + 100) * 1000 + (tx + 500)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"tile_y": pa.array(u // 1000 - 100, pa.int64()),
+                         "tile_x": pa.array(u % 1000 - 500, pa.int64()),
+                         "partial": pa.array(c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = geo_points(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["tile_y", "tile_x"]).aggregate(
+            Sum("partial", alias_name="n_points"))
+    return out
+
+
+def geo_cell_encode(sf_dir):
+    """S2 leaf cell + level-12 ancestor + token per point (no SQL oracle —
+    Hilbert encode is S2-specific; invariants tested in tests/)."""
+    def enc(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        leaf = ci.cellid_from_latlng(lat, lon)
+        l12 = ci.parent(leaf, 12)
+        # uint64 -> int64 view: ids < 2^63 (face <= 5), lossless
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cell_id": pa.array(leaf.astype(np.int64), pa.int64()),
+            "cell_l12": pa.array(l12.astype(np.int64), pa.int64()),
+            "token": pa.array(ci.to_token(leaf), pa.string()),
+        })
+    return geo_points(sf_dir).map_batches(enc, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def geo_knn(sf_dir, k=5):
+    """Exact kNN: for 20 query points (derived from customer keys < 20),
+    the k nearest document points by squared chord distance; the identical
+    formula is reproduced in SQL via cos/sin/radians and ROW_NUMBER.
+
+    Ray plan: broadcast the tiny query matrix, ONE matmul per batch for
+    partial top-k, final merge on a tiny table (no corpus shuffle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).to_pandas()
+    qkeys = np.sort(cust["c_custkey"].to_numpy())
+    qkeys = qkeys[qkeys < 20]
+    qlat = np.deg2rad(((qkeys * 3571) % 18000) / 100.0 - 90.0)
+    qlon = np.deg2rad(((qkeys * 6689) % 36000) / 100.0 - 180.0)
+    qx = np.cos(qlat) * np.cos(qlon)
+    qy = np.cos(qlat) * np.sin(qlon)
+    qz = np.sin(qlat)
+    qm = np.stack([qx, qy, qz], axis=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.deg2rad(batch["lat"].to_numpy(zero_copy_only=False))
+        lon = np.deg2rad(batch["lon"].to_numpy(zero_copy_only=False))
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        px = np.cos(lat) * np.cos(lon)
+        py = np.cos(lat) * np.sin(lon)
+        pz = np.sin(lat)
+        # squared chord distance, same expansion as the SQL oracle
+        d2 = ((qm[:, 0:1] - px[None, :]) ** 2
+              + (qm[:, 1:2] - py[None, :]) ** 2
+              + (qm[:, 2:3] - pz[None, :]) ** 2)
+        kk = min(k, d2.shape[1])
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        out_q, out_d, out_s = [], [], []
+        for qi in range(d2.shape[0]):
+            out_q.extend([int(qkeys[qi])] * kk)
+            out_d.extend(did[part[qi]].tolist())
+            out_s.extend(d2[qi, part[qi]].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "d2": pa.array(out_s, pa.float64())})
+
+    parts = geo_points(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    parts.sort_values(["query_id", "d2", "doc_id"],
+                      ascending=[True, True, True], inplace=True)
+    top = parts.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "doc_id", "rank"]].reset_index(drop=True)
+
+
+def geo_spatial_join(sf_dir):
+    """The flagship S2 spatial join on synthesized pages (rows-only check;
+    exact-PIP oracle lives in tests/test_spatial_join.py)."""
+    from ..sources.pages import pages_dataset
+    from ..sources.polygons import make_polygons
+    from .spatial_join import spatial_join
+    n_docs = _docs(sf_dir).count()
+    pages = pages_dataset(max(2000, 10 * n_docs))
+    polys = make_polygons(30)
+    return spatial_join(pages, polys)
+
+
+def geo_covering_tokens(sf_dir):
+    """Deterministic polygon coverings as tokens (rows-only; determinism
+    asserted by running the coverer twice in tests)."""
+    from ..core.coverer import RegionCoverer
+    from ..sources.polygons import make_polygons
+    import pandas as pd
+    del sf_dir
+    rc = RegionCoverer(max_cells=8, min_level=10, max_level=16)
+    rows = []
+    for rec in make_polygons(30):
+        for c in rc.get_covering(rec["polygon"]).tolist():
+            rows.append((rec["polygon_id"],
+                         str(ci.to_token(np.uint64([c]))[0])))
+    return pd.DataFrame(rows, columns=["polygon_id", "token"])
+
+
+QUERIES = {
+    "geo_points": geo_points,
+    "geo_bbox_filter": geo_bbox_filter,
+    "geo_rect_join": geo_rect_join,
+    "geo_grid_tile_count": geo_grid_tile_count,
+    "geo_cell_encode": geo_cell_encode,
+    "geo_knn": geo_knn,
+    "geo_spatial_join": geo_spatial_join,
+    "geo_covering_tokens": geo_covering_tokens,
+}
+
+_PTS = (f"SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon "
+        "FROM documents")
+
+ORACLE = {
+    "geo_points": _PTS,
+    "geo_bbox_filter": (
+        f"SELECT * FROM ({_PTS}) WHERE lat BETWEEN 20 AND 60 "
+        "AND lon BETWEEN -10 AND 40"),
+    "geo_rect_join": (
+        f"WITH pts AS ({_PTS}), rects AS ("
+        "SELECT n_nationkey AS rect_id, "
+        "(n_nationkey * 37) % 120 - 60.0 AS lat_lo, "
+        "(n_nationkey * 37) % 120 - 45.0 AS lat_hi, "
+        "(n_nationkey * 73) % 300 - 150.0 AS lon_lo, "
+        "(n_nationkey * 73) % 300 - 120.0 AS lon_hi FROM nation) "
+        "SELECT pts.doc_id, rects.rect_id FROM pts, rects "
+        "WHERE pts.lat >= rects.lat_lo AND pts.lat <= rects.lat_hi "
+        "AND pts.lon >= rects.lon_lo AND pts.lon <= rects.lon_hi"),
+    "geo_grid_tile_count": (
+        f"SELECT CAST(floor(lat / 5.0) AS BIGINT) AS tile_y, "
+        "CAST(floor(lon / 5.0) AS BIGINT) AS tile_x, "
+        f"COUNT(*) AS n_points FROM ({_PTS}) GROUP BY tile_y, tile_x"),
+    "geo_knn": (
+        "WITH pts AS (SELECT doc_id, "
+        f"radians({GEO_LAT_EXPR}) AS lat, radians({GEO_LON_EXPR}) AS lon "
+        "FROM documents), "
+        "q AS (SELECT c_custkey AS query_id, "
+        "radians(((c_custkey * 3571) % 18000) / 100.0 - 90.0) AS qlat, "
+        "radians(((c_custkey * 6689) % 36000) / 100.0 - 180.0) AS qlon "
+        "FROM customer WHERE c_custkey < 20), "
+        "d AS (SELECT q.query_id, pts.doc_id, "
+        "(cos(qlat)*cos(qlon) - cos(lat)*cos(lon)) * "
+        "(cos(qlat)*cos(qlon) - cos(lat)*cos(lon)) + "
+        "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) * "
+        "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) + "
+        "(sin(qlat) - sin(lat)) * (sin(qlat) - sin(lat)) AS d2 "
+        "FROM q, pts), "
+        "r AS (SELECT query_id, doc_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY d2, doc_id) AS rank FROM d) "
+        "SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r "
+        "WHERE rank <= 5"),
+}

@@ -41,12 +41,28 @@ def geocoded_pages(pages_ds, levels=tuple(range(10, 17))):
                           zero_copy_batch=True)
 
 
-def spatial_join(pages_ds, polygons, concurrency=4, exact=True,
+def _auto_concurrency(requested=None):
+    """Size the actor pool to leave CPUs for the producer stages — a pool
+    that reserves every CPU starves the read/geocode stages and the
+    pipeline stalls (ray_guide 'Stateful stages')."""
+    try:
+        import ray
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        total = 4
+    cap = max(1, total - 2)
+    if requested is None:
+        return cap
+    return max(1, min(requested, cap))
+
+
+def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
                  drop_uncontained=False):
     """Returns a Dataset of join rows (url, polygon_id, cell_id, contained).
 
     polygons: list of {'polygon_id', 'polygon'} records (the small side).
     """
+    concurrency = _auto_concurrency(concurrency)
     index = build_polygon_index(polygons)
     ref = broadcast(index)
     ds = geocoded_pages(pages_ds)
@@ -97,7 +113,7 @@ def tile_counts(pages_ds, level=12):
         Sum("partial_count", alias_name="n_pages"))
 
 
-def flagship(n_pages=5000, n_polygons=50, concurrency=4, seed=42):
+def flagship(n_pages=5000, n_polygons=50, concurrency=None, seed=42):
     """entry() pipeline: synthetic pages at small scale -> join rows."""
     pages = pages_dataset(n_pages, seed=seed)
     polys = make_polygons(n_polygons, seed=seed)

@@ -1,0 +1,271 @@
+"""Training-data operator family over documents/embeddings: deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force + LSH), text analysis (token count,
+quality, language-ID, fingerprint), and the multimodal plumbing demo.
+
+Oracle-checkable where SQL can express it (md5 hashes, token counts,
+integer quality ratios, cosine top-k via list_cosine_similarity); sketch
+operators register rows-only."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages import text as tx
+from ..stages.ann import ann_topk, embedding_near_dups
+
+
+def _docs(sf_dir, columns):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=list(columns))
+
+
+def _emb(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact(sf_dir):
+    """Exact dedup: min doc_id per md5(text) — hash-partition + per-group
+    first (SURVEY.md §2.4). Pre-aggregated: per-batch min, then a tiny
+    groupby over (hash, partial-min) rows."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.md5_hash_column, batch_format="pyarrow", batch_size=65536)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["doc_id", "text_md5"]).to_pandas()
+        return df.groupby("text_md5", as_index=False)["doc_id"].min()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("text_md5", as_index=False)["doc_id"].min()
+    return out.rename(columns={"doc_id": "keep_id"})[["keep_id"]] \
+        .sort_values("keep_id").reset_index(drop=True)
+
+
+def token_counts(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.token_count, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "n_tokens"])
+
+
+def text_quality(sf_dir):
+    """Integer-exact quality scores: n_chars + alpha ratio in basis points
+    (alpha*10000 // chars) so the oracle comparison is exact."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, "[^a-z]", "")), pa.int64()).to_numpy(zero_copy_only=False)
+        bps = (alpha * 10000) // np.maximum(1, n_chars)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_text": pa.array(n_chars, pa.int64()),
+            "alpha_bps": pa.array(bps, pa.int64()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_stats(sf_dir):
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"))
+    parts = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def langid_pred(sf_dir):
+    """Heuristic language-ID (stopword profiles) — rows-only check; the
+    accuracy assertion vs the `lang` column lives in tests."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.langid_heuristic, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "lang_pred"])
+
+
+def doc_fingerprints(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.rolling_fingerprint, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "fingerprint"])
+
+
+def simhash_sketch(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.simhash64, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "simhash"])
+
+
+def minhash_lsh_pairs(sf_dir, threshold=0.5):
+    """MinHash+LSH near-dup candidates verified by exact n-gram Jaccard:
+    shingle -> minhash -> band -> bucket groupby -> verify (the canonical
+    web-dedup pipeline; ray_guide 'Near-dup')."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.MinHasher, batch_format="pyarrow", batch_size=8192,
+        concurrency=2, num_cpus=1)
+
+    # Scale pattern: per-batch partial counts of band hashes -> tiny
+    # combine -> broadcast the duplicated-hash set -> filter band rows to
+    # candidate buckets only (vectorized), pair within buckets. Only
+    # duplicated hashes ever leave the workers — no per-group task storm.
+    import pyarrow.compute as pc
+    ds = ds.materialize()
+
+    def hash_counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["band", "band_hash"]).to_pandas()
+        return df.groupby(["band", "band_hash"], as_index=False).agg(
+            n=("band_hash", "size"))
+
+    counts = ds.map_batches(hash_counts,
+                            batch_format="pyarrow").to_pandas()
+    counts = counts.groupby(["band", "band_hash"], as_index=False)["n"].sum()
+    dup_hashes = counts.loc[counts["n"] >= 2, "band_hash"].unique()
+    if len(dup_hashes) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard_bps": pd.Series([], dtype="int64")})
+    dup_arr = pa.array(np.sort(dup_hashes).astype(np.uint64), pa.uint64())
+    bucket_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["band_hash"], value_set=dup_arr)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pairs = set()
+    for (_, _), grp in bucket_rows.groupby(["band", "band_hash"]):
+        ids = sorted(set(grp["doc_id"].tolist()))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    cand = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]) \
+        if pairs else pd.DataFrame({"doc_a": [], "doc_b": []})
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard_bps": pd.Series([], dtype="int64")})
+    cand = cand.drop_duplicates()
+    # Exact verification on the candidate set (small by construction).
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    import pyarrow.compute as pc
+    narr = pa.array(need, pa.int64())
+    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=narr)),
+        batch_format="pyarrow").to_pandas().set_index("doc_id")["text"]
+    hashes = {d: h for d, h in zip(
+        need, tx._hash_tokens_batch([texts[d] for d in need]))}
+    jac = np.array([tx.jaccard(hashes[a], hashes[b])
+                    for a, b in zip(cand["doc_a"], cand["doc_b"])])
+    keep = jac >= threshold
+    out = cand[keep].copy()
+    out["jaccard_bps"] = (jac[keep] * 10000).astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ann_cosine_topk(sf_dir, k=5):
+    """Brute-force cosine top-k for queries vec_id < 10 (ranks only, so
+    the float comparison with the DuckDB oracle is exact-int)."""
+    return ann_topk(_emb(sf_dir), query_ids=range(10), k=k)
+
+
+def embedding_dups(sf_dir):
+    """Embedding-cosine near-dups via hyperplane LSH buckets (rows-only).
+
+    Random embeddings rarely exceed the 0.95 threshold, so the result is
+    often empty; normalize to a typed frame so the schema is stable."""
+    out = embedding_near_dups(_emb(sf_dir), threshold=0.95).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                            "vec_id_b": pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64")})
+    return out
+
+
+def doc_bytes(sf_dir):
+    """Multimodal-style metadata: byte length of the payload column."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pc.cast(batch["text"], pa.binary())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pc.cast(pc.binary_length(b), pa.int64()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def multimodal_decode_demo(sf_dir):
+    """Runs the stubbed image-decode + feature actor stages over binary
+    payloads built from document text (rows-only; plumbing is the test)."""
+    from ..stages.multimodal import FeatureExtract, ImageDecode
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "payload_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    # Two chained actor pools: size them to leave CPUs for the read stage
+    # (two pools that together reserve every CPU deadlock the pipeline).
+    from .spatial_join import _auto_concurrency
+    conc = max(1, _auto_concurrency() // 2)
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(ImageDecode, batch_format="pyarrow", batch_size=512,
+                        concurrency=conc, num_cpus=1)
+    ds = ds.map_batches(FeatureExtract, batch_format="pyarrow",
+                        batch_size=512, concurrency=conc, num_cpus=1)
+    return ds.select_columns(["payload_id", "width", "height", "channels",
+                              "decode_ok"])
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "token_counts": token_counts,
+    "text_quality": text_quality,
+    "lang_stats": lang_stats,
+    "langid_pred": langid_pred,
+    "doc_fingerprints": doc_fingerprints,
+    "simhash_sketch": simhash_sketch,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_dups": embedding_dups,
+    "doc_bytes": doc_bytes,
+    "multimodal_decode_demo": multimodal_decode_demo,
+}
+
+ORACLE = {
+    "dedup_exact": (
+        "SELECT keep_id FROM (SELECT MIN(doc_id) AS keep_id FROM documents "
+        "GROUP BY md5(text)) ORDER BY keep_id"),
+    "token_counts": (
+        "SELECT doc_id, CAST(array_length(regexp_split_to_array("
+        "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents"),
+    "text_quality": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) * 10000 "
+        "// greatest(1, length(text)) AS BIGINT) AS alpha_bps "
+        "FROM documents"),
+    "lang_stats": (
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
+        "GROUP BY lang"),
+    "ann_cosine_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(q.qe, e.embedding) AS score "
+        "FROM q, embeddings e WHERE e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+        "FROM s) "
+        "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r "
+        "WHERE rank <= 5"),
+    "doc_bytes": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
+        "AS n_bytes FROM documents"),
+}

@@ -105,8 +105,19 @@ def make_pages_batch(batch, seed=42):
 
 
 def pages_dataset(n_rows, seed=42, override_num_blocks=None):
-    """Distributed pages Dataset: range -> map_batches(generator)."""
+    """Distributed pages Dataset: range -> map_batches(generator).
+
+    Block count is sized so batches are tens of thousands of rows — the
+    default range() blocking would hand each map task a few hundred rows
+    and per-batch overhead would dominate."""
     import ray.data as rd
+    if override_num_blocks is None:
+        try:
+            import ray
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        override_num_blocks = max(2 * ncpu, min(512, n_rows // 32768) or 1)
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
     return ds.map_batches(lambda b: make_pages_batch(b, seed),
                           batch_format="numpy", batch_size=65536)

@@ -30,37 +30,66 @@ from ..state.broadcast import fetch
 JOIN_LEVELS = tuple(range(10, 17))
 
 
-def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
-                        interior_max_cells=32):
-    """polygons: list of {'polygon_id': int, 'polygon': Polygon}.
-
-    Returns a picklable index dict:
-      level -> dict(cells=sorted uint64[], start/end offsets into
-                    poly_ids[], interior flags[])
-      plus 'polygons': {polygon_id: Polygon} for the exact refinement.
-    """
+def _cover_one(rec, min_level, max_level, max_cells, interior_max_cells):
+    """Covering + interior flags for one polygon -> (cell, pid, flag) rows."""
+    from ..core import cellunion as cu
     rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
                        max_level=max_level)
     rci = RegionCoverer(max_cells=interior_max_cells, min_level=min_level,
                         max_level=max_level)
+    pid = rec["polygon_id"]
+    poly = rec["polygon"]
+    cov = rc.get_covering(poly)
+    # Exterior covering cells fully inside the interior covering can
+    # short-circuit the exact PIP (s2region_coverer.d:262-268 semantics).
+    int_arr = np.sort(rci.get_interior_covering(poly))
+    if len(int_arr):
+        flags = cu.contains_ids(int_arr, cov)
+    else:
+        flags = np.zeros(len(cov), dtype=bool)
+    return [(int(c), pid, bool(f)) for c, f in zip(cov.tolist(),
+                                                   flags.tolist())]
+
+
+def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
+                        interior_max_cells=32):
+    """polygons: list of {'polygon_id': int, 'polygon': Polygon}.
+
+    Covering computation fans out over Ray tasks when a session is live
+    (the polygon table is a dimension table, but per-polygon coverings are
+    independent CPU work); falls back to serial for pure-python tests.
+
+    Returns a picklable index dict:
+      level -> dict(ucells=sorted uint64[], start/end offsets into
+                    pids[], interior flags[])
+      plus 'polygons': {polygon_id: Polygon} for the exact refinement.
+    """
     rows = []  # (cell, polygon_id, is_interior)
-    for rec in polygons:
-        pid = rec["polygon_id"]
-        poly = rec["polygon"]
-        cov = rc.get_covering(poly)
-        interior = set(int(c) for c in rci.get_interior_covering(poly))
-        # Exterior covering cells that are fully interior can short-circuit;
-        # mark a covering cell interior when the interior covering contains it.
-        from ..core import cellunion as cu
-        int_arr = np.array(sorted(interior), dtype=np.uint64)
-        if len(int_arr):
-            flags = cu.contains_ids(int_arr, cov)
-        else:
-            flags = np.zeros(len(cov), dtype=bool)
-        for c, f in zip(cov.tolist(), flags.tolist()):
-            rows.append((int(c), pid, bool(f)))
-        # Also index interior cells NOT part of the exterior covering set?
-        # Not needed: the exterior covering is a superset region-wise.
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized() and len(polygons) >= 8
+    except Exception:
+        pass
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def cover_chunk(chunk):
+            out = []
+            for rec in chunk:
+                out.extend(_cover_one(rec, min_level, max_level, max_cells,
+                                      interior_max_cells))
+            return out
+
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        chunks = [polygons[i::ncpu] for i in range(ncpu)]
+        for part in ray.get([cover_chunk.remote(c) for c in chunks if c]):
+            rows.extend(part)
+    else:
+        for rec in polygons:
+            rows.extend(_cover_one(rec, min_level, max_level, max_cells,
+                                   interior_max_cells))
     by_level = {}
     for lvl in range(min_level, max_level + 1):
         lv_rows = [(c, p, f) for (c, p, f) in rows

@@ -1,0 +1,98 @@
+"""Multimodal columns: opaque `binary` payloads + typed metadata.
+
+The image/audio codecs are NOT available in this environment, so the
+decode kernels are STUBBED behind ``_HAVE_PIL``-style gates with a
+deterministic fake decoder; the Ray-side plumbing — schema, actor-pool
+signature, batch sizing, output layout — is real and tested.
+
+Pattern (ray_guide 'Stateful stages'): decode/feature stages are callable
+classes (one codec/model init per actor), with SMALL batch_size because
+each row carries a large binary payload."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+class ImageDecode:
+    """binary -> (width, height, n_channels, ok). Stub decodes
+    deterministically from the payload hash when PIL is missing."""
+
+    def __init__(self, max_pixels=64_000_000):
+        self.max_pixels = max_pixels
+
+    def _fake_decode(self, payload: bytes):
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        w = 64 + h[0] % 192
+        hh = 64 + h[1] % 192
+        return w, hh, 3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        w = np.zeros(len(payloads), dtype=np.int32)
+        h = np.zeros(len(payloads), dtype=np.int32)
+        c = np.zeros(len(payloads), dtype=np.int32)
+        ok = np.zeros(len(payloads), dtype=bool)
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            if _HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real decode path requires PIL; container ships none")
+            w[i], h[i], c[i] = self._fake_decode(p)
+            ok[i] = True
+        batch = batch.append_column("width", pa.array(w, pa.int32()))
+        batch = batch.append_column("height", pa.array(h, pa.int32()))
+        batch = batch.append_column("channels", pa.array(c, pa.int32()))
+        return batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+
+
+class FeatureExtract:
+    """(decoded meta) -> fixed-size feature vector (list<float>).
+
+    Deterministic fake: blake2b-seeded pseudo-embedding. A real model
+    would be loaded once here in __init__ (the actor-pool contract)."""
+
+    def __init__(self, dim=32):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = []
+        for p in payloads:
+            if p is None:
+                feats.append([0.0] * self.dim)
+                continue
+            seed = int.from_bytes(hashlib.blake2b(
+                p, digest_size=8).digest(), "little") % (2 ** 32)
+            rng = np.random.default_rng(seed)
+            feats.append(rng.standard_normal(self.dim).astype(
+                np.float32).tolist())
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32())))
+
+
+def frame_sample_plan(batch: pa.Table, every_n=10) -> pa.Table:
+    """Video frame-sampling plan: emits (payload_id, frame_index) rows.
+    The actual frame extraction is the stubbed decode; the flat-map row
+    expansion and schema are the real plumbing."""
+    n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+    ids = batch["payload_id"].to_numpy(zero_copy_only=False)
+    counts = np.maximum(1, n_frames // every_n)
+    out_id = np.repeat(ids, counts)
+    local = np.arange(int(counts.sum())) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    frame_idx = (local * every_n).astype(np.int64)
+    return pa.table({
+        "payload_id": pa.array(out_id, pa.int64()),
+        "frame_index": pa.array(frame_idx, pa.int64()),
+    })
