@@ -1,0 +1,154 @@
+"""S2PointIndex + closest-point (kNN) query.
+
+Reimplements the semantics of ``src/s2/s2point_index.d`` (a sorted map of
+leaf cell id -> (point, data)) and ``src/s2/s2closest_point_query.d`` /
+``s2closest_point_query_base.d``:
+
+  - results ordered ascending by (distance, data_id), matching
+    Result.opCmp (s2closest_point_query_base.d:155-183)
+  - options: max_points, max_distance (chord2), region
+  - brute force below MAX_BRUTE_FORCE_INDEX_SIZE=150 points (point
+    target, s2closest_point_query.d:147)
+  - pruned path: Hilbert-neighbor seeds give an upper bound on the k-th
+    distance; a cap covering at that radius + searchsorted over the
+    sorted leaf ids selects candidates for exact evaluation. This yields
+    the IDENTICAL result set to brute force (the conformance property the
+    reference tests assert) while touching O(k + covering) points.
+
+The index is a plain picklable object — actors build or fetch it once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid as ci
+from .cap import Cap
+from .coverer import RegionCoverer
+
+MAX_BRUTE_FORCE_INDEX_SIZE = 150  # point target (s2closest_point_query.d:147)
+
+
+class PointIndex:
+    """Sorted (leaf cell id -> point, data) arrays."""
+
+    def __init__(self, x, y, z, data_ids=None):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        n = len(x)
+        if data_ids is None:
+            data_ids = np.arange(n, dtype=np.int64)
+        leaf = ci.cellid_from_xyz(x, y, z)
+        order = np.argsort(leaf, kind="stable")
+        self.cells = leaf[order]
+        self.points = np.stack([x, y, z], axis=1)[order]
+        self.data = np.asarray(data_ids, dtype=np.int64)[order]
+
+    @classmethod
+    def from_latlng(cls, lat_deg, lon_deg, data_ids=None):
+        from . import coords
+        x, y, z = coords.latlng_to_xyz(lat_deg, lon_deg)
+        return cls(x, y, z, data_ids)
+
+    def __len__(self):
+        return len(self.cells)
+
+
+def _chord2(points, target):
+    d = points - np.asarray(target)[None, :]
+    return (d * d).sum(axis=1)
+
+
+class ClosestPointQuery:
+    """One query object per actor (matching the reference's
+    'each thread should construct its own instance' contract,
+    s2contains_point_query.d:90-95 — our actors are single-threaded)."""
+
+    def __init__(self, index: PointIndex, max_points=1,
+                 max_distance_chord2=None, region=None,
+                 use_brute_force=False):
+        self.index = index
+        self.max_points = max_points
+        self.max_distance2 = max_distance_chord2
+        self.region = region
+        self.use_brute_force = use_brute_force
+
+    # -- helpers -------------------------------------------------------
+    def _region_mask(self, idxs):
+        if self.region is None:
+            return np.ones(len(idxs), dtype=bool)
+        pts = self.index.points[idxs]
+        return np.array([self.region.contains_point(tuple(p))
+                         for p in pts], dtype=bool)
+
+    def _select(self, cand_idx, target):
+        """Exact evaluation of candidates -> (distance2, data) rows
+        ordered by (distance, data)."""
+        if len(cand_idx) == 0:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        d2 = _chord2(self.index.points[cand_idx], target)
+        keep = np.ones(len(cand_idx), dtype=bool)
+        if self.max_distance2 is not None:
+            keep &= d2 <= self.max_distance2
+        if self.region is not None:
+            keep &= self._region_mask(cand_idx)
+        d2 = d2[keep]
+        data = self.index.data[cand_idx[keep]]
+        order = np.lexsort((data, d2))
+        order = order[:self.max_points]
+        return d2[order], data[order]
+
+    def find_closest_points(self, target_xyz):
+        """Returns (distances2, data_ids), ascending (distance, data)."""
+        target = np.asarray(target_xyz, dtype=np.float64)
+        n = len(self.index)
+        if n == 0:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        if self.use_brute_force or n <= MAX_BRUTE_FORCE_INDEX_SIZE:
+            return self._select(np.arange(n), target)
+
+        # Seed: 2k Hilbert-order neighbors of the target's leaf cell give
+        # an upper bound on the k-th nearest distance (any superset of k
+        # points bounds the k-th order statistic from above).
+        k = self.max_points
+        leaf = ci.cellid_from_xyz(np.float64([target[0]]),
+                                  np.float64([target[1]]),
+                                  np.float64([target[2]]))[0]
+        pos = int(np.searchsorted(self.index.cells, leaf))
+        lo = max(0, pos - 2 * k)
+        hi = min(n, pos + 2 * k)
+        seed_idx = np.arange(lo, hi)
+        seed_d2 = np.sort(_chord2(self.index.points[seed_idx], target))
+        if len(seed_d2) >= k:
+            ub2 = float(seed_d2[k - 1])
+        else:
+            ub2 = 4.0
+        if self.max_distance2 is not None:
+            ub2 = min(ub2, float(self.max_distance2))
+        if self.region is not None:
+            # The seed bound ignores the region constraint; a correct
+            # bound needs k in-region seeds. Fall back to a full scan
+            # bound (still exact, just unpruned) when the region filters.
+            ub2 = 4.0 if self.max_distance2 is None \
+                else float(self.max_distance2)
+
+        # Candidate retrieval: cap covering at radius ub -> leaf ranges.
+        import math
+        ub_rad = 2.0 * math.asin(0.5 * math.sqrt(min(4.0, ub2)))
+        # Grow slightly: the k-th point itself must be included.
+        cap = Cap.from_center_angle(tuple(target),
+                                    min(math.pi, ub_rad * (1 + 1e-12)
+                                        + 1e-15))
+        cov = RegionCoverer(max_cells=8).get_covering(cap)
+        cand = []
+        starts = np.searchsorted(self.index.cells, ci.range_min(cov))
+        ends = np.searchsorted(self.index.cells, ci.range_max(cov),
+                               side="right")
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e > s:
+                cand.append(np.arange(s, e))
+        if not cand:
+            return self._select(seed_idx, target)
+        cand_idx = np.unique(np.concatenate(cand + [seed_idx]))
+        return self._select(cand_idx, target)

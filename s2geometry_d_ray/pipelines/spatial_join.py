@@ -57,18 +57,28 @@ def _auto_concurrency(requested=None):
 
 
 def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
-                 drop_uncontained=False):
+                 drop_uncontained=False, use_actors=False):
     """Returns a Dataset of join rows (url, polygon_id, cell_id, contained).
 
     polygons: list of {'polygon_id', 'polygon'} records (the small side).
-    """
-    concurrency = _auto_concurrency(concurrency)
+
+    use_actors=False (default): stateless tasks on the shared worker pool
+    with a per-worker index cache — no actor-pool spin-up; right when the
+    per-batch work is small vs actor startup. use_actors=True: explicit
+    actor pool — right when the index build itself must run remotely or
+    per-actor state is heavy."""
     index = build_polygon_index(polygons)
     ref = broadcast(index)
     ds = geocoded_pages(pages_ds)
-    joined = ds.map_batches(JoinRefine, fn_constructor_args=(ref, exact),
-                            batch_format="pyarrow", batch_size=65536,
-                            concurrency=concurrency, num_cpus=1)
+    if use_actors:
+        joined = ds.map_batches(JoinRefine, fn_constructor_args=(ref, exact),
+                                batch_format="pyarrow", batch_size=65536,
+                                concurrency=_auto_concurrency(concurrency),
+                                num_cpus=1)
+    else:
+        from ..stages.join import make_join_refine_fn
+        joined = ds.map_batches(make_join_refine_fn(ref, exact),
+                                batch_format="pyarrow", batch_size=65536)
     if drop_uncontained:
         import pyarrow.compute as pc
         joined = joined.map_batches(
@@ -94,10 +104,18 @@ def tiles(pages_ds, level=12):
                           zero_copy_batch=True)
 
 
-def tile_counts(pages_ds, level=12):
-    """Pages per tile: partial count inside map_batches then a tiny groupby
-    (pre-aggregation pattern — the shuffle moves one row per (block, tile),
-    not one row per page)."""
+def tile_counts(pages_ds, level=12, shuffle=None):
+    """Pages per tile: partial count inside map_batches, then combine.
+
+    The partial pre-aggregation moves one row per (block, tile) — never one
+    row per page. The combine has two paths:
+      shuffle=False (default when level <= 14): driver-side pandas combine
+        of the partials — tile cardinality is bounded by 6*4^level
+        (level 12 -> <=100M worldwide; at test scales a few hundred k),
+        so partials are a small result.
+      shuffle=True: groupby("tile_id") all-to-all — the scale path for
+        fine levels (15+) or when partials no longer fit one machine.
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
@@ -108,9 +126,16 @@ def tile_counts(pages_ds, level=12):
     ds = geocoded_pages(pages_ds, levels=(level,))
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    from ray.data.aggregate import Sum
-    return partials.groupby("tile_id").aggregate(
-        Sum("partial_count", alias_name="n_pages"))
+    if shuffle is None:
+        shuffle = level > 14
+    if shuffle:
+        from ray.data.aggregate import Sum
+        return partials.groupby("tile_id").aggregate(
+            Sum("partial_count", alias_name="n_pages"))
+    pdf = partials.to_pandas()
+    out = pdf.groupby("tile_id", as_index=False)["partial_count"].sum() \
+        .rename(columns={"partial_count": "n_pages"})
+    return out
 
 
 def flagship(n_pages=5000, n_polygons=50, concurrency=None, seed=42):

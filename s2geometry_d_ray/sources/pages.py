@@ -74,32 +74,48 @@ def make_pages_batch(batch, seed=42):
     Use with ray.data.range(n).map_batches(make_pages_batch,
     batch_format=\"numpy\") so generation itself is distributed.
     """
+    import pyarrow.compute as pc
+
     rid = np.asarray(batch["id"], dtype=np.uint64)
-    n = len(rid)
     lat, lon = latlon_for_rows(rid, seed)
     h = _mix64(rid ^ np.uint64(seed + 4))
     kind = (h % np.uint64(100)).astype(np.int64)
+
+    def _s(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    def _fixed6(v):
+        """%.6f as C++ kernels: sign + int part + '.' + 0-padded micros."""
+        micro = np.round(v * 1e6).astype(np.int64)
+        neg = micro < 0
+        am = np.abs(micro)
+        sign = pc.if_else(pa.array(neg), pa.scalar("-"), pa.scalar(""))
+        ip = _s(am // 1_000_000)
+        frac = pc.utf8_lpad(_s(am % 1_000_000), 6, "0")
+        return pc.binary_join_element_wise(sign, ip, ".", frac, "")
+
     # 0-4 -> no coordinate; 5 -> malformed; else well-formed.
-    urls = [f"https://host{int(r) % 1000}.example/{int(r)}" for r in rid]
-    texts = []
-    for i in range(n):
-        if kind[i] < 5:
-            texts.append(f"page {urls[i]} with no location mentioned "
-                         f"in its body text")
-        elif kind[i] == 5:
-            texts.append(f"page {urls[i]} located at {lat[i]:.6f}, "
-                         f"not-a-number")
-        else:
-            texts.append(f"crawl snapshot of {urls[i]} located at "
-                         f"{lat[i]:.6f}, {lon[i]:.6f} with body text")
-    html = [(b"<html><body>" + t.encode("utf-8") + b"</body></html>")
-            for t in texts]
+    join = pc.binary_join_element_wise
+    urls = join("https://host", _s(rid.astype(np.int64) % 1000),
+                ".example/", _s(rid.astype(np.int64)), "")
+    lat_s = _fixed6(lat)
+    lon_s = _fixed6(lon)
+    miss = join("page ", urls,
+                " with no location mentioned in its body text", "")
+    malformed = join("page ", urls, " located at ", lat_s,
+                     ", not-a-number", "")
+    good = join("crawl snapshot of ", urls, " located at ", lat_s, ", ",
+                lon_s, " with body text", "")
+    texts = pc.if_else(pa.array(kind < 5), miss,
+                       pc.if_else(pa.array(kind == 5), malformed, good))
+    html = pc.cast(join("<html><body>", texts, "</body></html>", ""),
+                   pa.binary())
     ts = (_EPOCH_US + rid.astype(np.int64)).view(np.int64)
     return pa.table({
-        "url": pa.array(urls, type=pa.string()),
+        "url": urls,
         "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-        "html": pa.array(html, type=pa.binary()),
-        "text": pa.array(texts, type=pa.string()),
+        "html": html,
+        "text": texts,
         "lang": pa.array(LANGS[(h % np.uint64(5)).astype(np.int64)]),
     })
 

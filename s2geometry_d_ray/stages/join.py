@@ -30,8 +30,9 @@ from ..state.broadcast import fetch
 JOIN_LEVELS = tuple(range(10, 17))
 
 
-def _cover_one(rec, min_level, max_level, max_cells, interior_max_cells):
-    """Covering + interior flags for one polygon -> (cell, pid, flag) rows."""
+def _cover_one(rec, min_level, max_level, max_cells, interior_max_cells,
+               with_shape_index=True):
+    """Covering + interior flags + shape index for one polygon."""
     from ..core import cellunion as cu
     rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
                        max_level=max_level)
@@ -47,8 +48,13 @@ def _cover_one(rec, min_level, max_level, max_cells, interior_max_cells):
         flags = cu.contains_ids(int_arr, cov)
     else:
         flags = np.zeros(len(cov), dtype=bool)
-    return [(int(c), pid, bool(f)) for c, f in zip(cov.tolist(),
+    rows = [(int(c), pid, bool(f)) for c, f in zip(cov.tolist(),
                                                    flags.tolist())]
+    geom = poly
+    if with_shape_index:
+        from ..core.shapeindex import PolygonShapeIndex
+        geom = PolygonShapeIndex(poly)
+    return rows, geom
 
 
 def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
@@ -65,6 +71,7 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
       plus 'polygons': {polygon_id: Polygon} for the exact refinement.
     """
     rows = []  # (cell, polygon_id, is_interior)
+    geoms = {}  # polygon_id -> PolygonShapeIndex (or Polygon)
     use_ray = False
     try:
         import ray
@@ -76,20 +83,27 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
 
         @ray.remote(num_cpus=1)
         def cover_chunk(chunk):
-            out = []
+            out_rows = []
+            out_geoms = {}
             for rec in chunk:
-                out.extend(_cover_one(rec, min_level, max_level, max_cells,
-                                      interior_max_cells))
-            return out
+                r, g = _cover_one(rec, min_level, max_level, max_cells,
+                                  interior_max_cells)
+                out_rows.extend(r)
+                out_geoms[rec["polygon_id"]] = g
+            return out_rows, out_geoms
 
         ncpu = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
         chunks = [polygons[i::ncpu] for i in range(ncpu)]
-        for part in ray.get([cover_chunk.remote(c) for c in chunks if c]):
-            rows.extend(part)
+        for part_rows, part_geoms in ray.get(
+                [cover_chunk.remote(c) for c in chunks if c]):
+            rows.extend(part_rows)
+            geoms.update(part_geoms)
     else:
         for rec in polygons:
-            rows.extend(_cover_one(rec, min_level, max_level, max_cells,
-                                   interior_max_cells))
+            r, g = _cover_one(rec, min_level, max_level, max_cells,
+                              interior_max_cells)
+            rows.extend(r)
+            geoms[rec["polygon_id"]] = g
     by_level = {}
     for lvl in range(min_level, max_level + 1):
         lv_rows = [(c, p, f) for (c, p, f) in rows
@@ -106,9 +120,28 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
         by_level[lvl] = {"ucells": ucells, "starts": starts, "ends": ends,
                          "pids": pids, "flags": flags}
     return {"levels": by_level,
-            "polygons": {rec["polygon_id"]: rec["polygon"]
-                         for rec in polygons},
+            "polygons": geoms,
             "min_level": min_level, "max_level": max_level}
+
+
+# Per-worker-process cache for broadcast indexes: stateless map_batches
+# tasks run on the already-warm shared worker pool (no actor-pool spin-up);
+# each worker pays one plasma fetch + deserialize, then reuses the object.
+_INDEX_CACHE: dict = {}
+
+
+def make_join_refine_fn(index_ref, exact=True):
+    """Stateless-task variant of JoinRefine: same kernel, but the index is
+    fetched once per worker process via a module-level cache. Preferred
+    when the per-batch work is small relative to actor startup."""
+    def fn(batch: pa.Table) -> pa.Table:
+        key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+        inst = _INDEX_CACHE.get(key)
+        if inst is None:
+            inst = JoinRefine(index_ref, exact)
+            _INDEX_CACHE[key] = inst
+        return inst(batch)
+    return fn
 
 
 class JoinRefine:
@@ -172,11 +205,17 @@ class JoinRefine:
                 x, y, z = coords.latlng_to_xyz(lat, lon)
                 pts = np.stack([x, y, z], axis=1)
                 # Group boundary candidates by polygon -> one vectorized
-                # PIP call per polygon present in the batch.
+                # PIP call per polygon present in the batch. Geometry
+                # objects are PolygonShapeIndex (cell->edge buckets) so
+                # each point tests ~10 edges, not the whole ring.
                 for p in np.unique(pid[need]).tolist():
                     sel = need & (pid == p)
-                    poly = self.index["polygons"][p]
-                    contained[sel] = poly.contains_points(pts[sel])
+                    geom = self.index["polygons"][p]
+                    if hasattr(geom, "edge_ids"):  # shape index path
+                        contained[sel] = geom.contains_points(
+                            pts[sel], leaf_cells=cell_leaf[sel])
+                    else:
+                        contained[sel] = geom.contains_points(pts[sel])
         out_url = urls.take(pa.array(rowidx))
         return pa.table({
             "url": out_url,

@@ -13,8 +13,10 @@ class TestPipelines:
         ds = pages_dataset(500)
         tbl = ds.take_batch(500, batch_format="pyarrow")
         ref = pages_table(500)
-        assert tbl["url"].to_pylist() == ref["url"].to_pylist()
-        assert tbl["text"].to_pylist() == ref["text"].to_pylist()
+        # Block arrival order is nondeterministic; compare keyed by url.
+        got = dict(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+        want = dict(zip(ref["url"].to_pylist(), ref["text"].to_pylist()))
+        assert got == want
 
     def test_flagship_join(self):
         from s2geometry_d_ray.pipelines.spatial_join import flagship
@@ -46,8 +48,13 @@ class TestPipelines:
         # token must match the tile id
         back = ci.from_token(t["token"].tolist())
         assert (back == t["tile_id"].to_numpy(dtype=np.uint64)).all()
-        counts = tile_counts(pages_dataset(1000), level=12).to_pandas()
+        counts = tile_counts(pages_dataset(1000), level=12)
+        if hasattr(counts, "to_pandas"):
+            counts = counts.to_pandas()
         assert counts["n_pages"].sum() == len(t)
+        sh = tile_counts(pages_dataset(1000), level=12,
+                         shuffle=True).to_pandas()
+        assert sh["n_pages"].sum() == len(t)
 
     def test_shuffle_join_agrees_with_broadcast(self):
         from s2geometry_d_ray.pipelines.spatial_join import (shuffle_join,
