@@ -63,11 +63,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     def read_pages():
         import ray.data as rd
-        return rd.read_parquet(pages_path, columns=["url", "text", "lang"])
+        # Without the override Ray coalesces the files into ~3 tasks
+        # (128 MiB block target) and the scan can't parallelize.
+        return rd.read_parquet(pages_path, columns=["url", "text", "lang"],
+                               override_num_blocks=max(64, 2 * num_cpus))
 
-    # Warm: worker-pool spin-up, imports, OS page cache for the parquet.
+    # Warm: one full-width untimed pass — spins up every map worker
+    # (package imports), fills the OS page cache for the parquet, and
+    # exercises the join path, so the timed run measures compute +
+    # pipeline, not process cold-start (ray_guide 'Measuring').
+    import pyarrow as pa
+
+    def _squash(t: "pa.Table") -> "pa.Table":
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
     from s2geometry_d_ray.pipelines.spatial_join import spatial_join as _sj
-    _sj(read_pages().limit(20000), make_polygons(8, seed=1)).count()
+    _sj(read_pages(), make_polygons(8, seed=1)).map_batches(
+        _squash, batch_format="pyarrow").count()
 
     # Polygon prep (small side; one-time, included in headline).
     t0 = time.perf_counter()

@@ -1,0 +1,109 @@
+"""s2text_format DSL parser/writer (src/s2/s2text_format.d:48-400).
+
+Grammar:
+  point list:   "lat:lng, lat:lng, ..."   (degrees)
+  loop:         a point list; "empty" / "full" special loops
+  polyline:     a point list
+  polygon:      loops separated by ';'
+  index:        "points # polylines # polygons" ('|'-separated entries)
+
+Used to express test geometries exactly as the reference test suite does,
+so its fixture strings can be reused verbatim."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import coords
+from .loop import Loop
+from .polygon import Polygon
+
+
+def parse_latlngs(text):
+    """'lat:lng, lat:lng' -> list of (lat_deg, lng_deg)."""
+    out = []
+    text = text.strip()
+    if not text:
+        return out
+    for piece in text.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        lat_s, lng_s = piece.split(":")
+        out.append((float(lat_s), float(lng_s)))
+    return out
+
+
+def parse_points(text):
+    """point list -> (n,3) unit xyz array."""
+    lls = parse_latlngs(text)
+    if not lls:
+        return np.zeros((0, 3))
+    lat = np.array([p[0] for p in lls])
+    lng = np.array([p[1] for p in lls])
+    x, y, z = coords.latlng_to_xyz(lat, lng)
+    return np.stack([x, y, z], axis=1)
+
+
+def make_point(text):
+    pts = parse_points(text)
+    assert len(pts) == 1, text
+    return tuple(pts[0])
+
+
+def make_latlng_rect(text):
+    """Two corners 'lo, hi' -> LatLngRect."""
+    from .rect import LatLngRect, S1Interval
+    lls = parse_latlngs(text)
+    assert len(lls) == 2, text
+    import math
+    (lat1, lng1), (lat2, lng2) = lls
+    return LatLngRect(math.radians(min(lat1, lat2)),
+                      math.radians(max(lat1, lat2)),
+                      S1Interval.from_point_pair(math.radians(lng1),
+                                                math.radians(lng2)))
+
+
+def make_loop(text, depth=0):
+    """Loop from a point list; 'empty'/'full' handled specially
+    (s2text_format.d:239-270)."""
+    text = text.strip()
+    if text == "empty":
+        return None
+    if text == "full":
+        # Full loop: represented by a tiny loop containing everything is
+        # not equivalent; callers that need "full" handle None/flag.
+        raise NotImplementedError("full loops are not supported")
+    pts = parse_points(text)
+    return Loop(pts, depth=depth)
+
+
+def make_polyline(text):
+    from .polyline import Polyline
+    return Polyline(parse_points(text))
+
+
+def make_polygon(text):
+    """';'-separated loops; loop 0 shell, rest holes at depth 1.
+
+    Loops are normalized to CCW (S2Loop.normalize semantics: invert when
+    the enclosed area exceeds 2*pi) — the xor-of-parities containment
+    model stores holes as CCW rings distinguished by depth."""
+    from .measures import loop_signed_area
+    loops = []
+    for i, chunk in enumerate(t for t in text.split(";") if t.strip()):
+        lp = make_loop(chunk, depth=0 if i == 0 else 1)
+        if lp is None:
+            continue
+        if loop_signed_area(lp.vertices) < 0:  # CW ring -> reverse
+            lp = Loop(lp.vertices[::-1], depth=lp.depth)
+        loops.append(lp)
+    assert loops, text
+    return Polygon(loops)
+
+
+def to_string_latlngs(points_xyz):
+    """(n,3) -> 'lat:lng, lat:lng' with %.15g precision."""
+    lat, lng = coords.xyz_to_latlng(points_xyz[:, 0], points_xyz[:, 1],
+                                    points_xyz[:, 2])
+    return ", ".join(f"{la:.15g}:{ln:.15g}" for la, ln in zip(lat, lng))

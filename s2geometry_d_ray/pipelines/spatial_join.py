@@ -23,20 +23,28 @@ import pyarrow as pa
 from ..core import cellid as ci
 from ..sources.pages import pages_dataset
 from ..sources.polygons import make_polygons
-from ..stages.geocode import geocode_and_encode, drop_misses
+from ..stages.geocode import drop_misses
 from ..stages.join import JoinRefine, build_polygon_index
 from ..state.broadcast import broadcast
 
 PAGE_COLUMNS = ["url", "text", "lang"]  # html projected out early
 
 
-def geocoded_pages(pages_ds, levels=tuple(range(10, 17))):
-    """pages Dataset -> geocoded + cell-encoded Dataset (misses dropped)."""
-    cols = [c for c in PAGE_COLUMNS if c in pages_ds.schema().names]
+def geocoded_pages(pages_ds, levels=tuple(range(10, 17)), with_token=False,
+                   keep=PAGE_COLUMNS):
+    """pages Dataset -> geocoded + cell-encoded Dataset (misses dropped).
+
+    with_token=False by default: hex tokens are a formatting output (the
+    tiles sink adds them); the join path never needs them and token
+    formatting is the one per-row-Python step in the chain. `keep` prunes
+    pass-through columns (the join only carries url + text)."""
+    from ..stages.geocode import encode_cells, parse_latlon
+    cols = [c for c in keep if c in pages_ds.schema().names]
     ds = pages_ds.select_columns(cols)
-    ds = ds.map_batches(lambda b: geocode_and_encode(b, levels),
-                        batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=65536)
+    ds = ds.map_batches(
+        lambda b: encode_cells(parse_latlon(b), levels,
+                               with_token=with_token),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
     return ds.map_batches(drop_misses, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -69,7 +77,10 @@ def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
     per-actor state is heavy."""
     index = build_polygon_index(polygons)
     ref = broadcast(index)
-    ds = geocoded_pages(pages_ds)
+    # Encode only the ancestor levels the covering index actually holds —
+    # fewer uint64 columns through the pipe.
+    levels = tuple(sorted(index["levels"])) or (12,)
+    ds = geocoded_pages(pages_ds, levels=levels, keep=("url", "text"))
     if use_actors:
         joined = ds.map_batches(JoinRefine, fn_constructor_args=(ref, exact),
                                 batch_format="pyarrow", batch_size=65536,

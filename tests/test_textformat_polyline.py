@@ -1,0 +1,76 @@
+"""Text-format DSL parsing + polyline ops, using reference-style fixture
+strings (src/s2/s2text_format.d grammar)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from s2geometry_d_ray.core import coords
+from s2geometry_d_ray.core import textformat as tf
+from s2geometry_d_ray.core.polyline import Polyline
+
+
+def test_parse_points_and_roundtrip():
+    pts = tf.parse_points("10:20, -30:40.5, 0:0")
+    assert pts.shape == (3, 3)
+    lat, lon = coords.xyz_to_latlng(pts[0, 0], pts[0, 1], pts[0, 2])
+    assert abs(float(lat) - 10) < 1e-12 and abs(float(lon) - 20) < 1e-12
+    s = tf.to_string_latlngs(pts)
+    again = tf.parse_points(s)
+    assert np.allclose(pts, again, atol=1e-14)
+
+
+def test_make_polygon_with_hole_contains():
+    # Shell 10x10 degrees with a 2x2 hole (reference-style fixture).
+    poly = tf.make_polygon("0:0, 0:10, 10:10, 10:0; 4:4, 6:4, 6:6, 4:6")
+    inside = tf.make_point("2:2")
+    in_hole = tf.make_point("5:5")
+    outside = tf.make_point("-5:5")
+    assert poly.contains_point(inside)
+    assert not poly.contains_point(in_hole)
+    assert not poly.contains_point(outside)
+
+
+def test_make_latlng_rect():
+    r = tf.make_latlng_rect("-10:-20, 10:20")
+    assert r.contains_latlng(0.0, 0.0)
+    assert not r.contains_latlng(math.radians(15), 0.0)
+
+
+def test_polyline_length_interpolate_project():
+    pl = tf.make_polyline("0:0, 0:90")
+    assert abs(pl.get_length() - math.pi / 2) < 1e-12
+    mid = pl.interpolate(0.5)
+    lat, lon = coords.xyz_to_latlng(*mid)
+    assert abs(float(lat)) < 1e-9 and abs(float(lon) - 45) < 1e-9
+    # Projection of an off-line point.
+    x = np.array(coords.latlng_to_xyz(10.0, 30.0), dtype=np.float64)
+    p, nxt = pl.project(x)
+    plat, plon = coords.xyz_to_latlng(*p)
+    assert abs(float(plat)) < 1e-9
+    assert abs(float(plon) - 30.0) < 1e-6
+    assert nxt == 1
+    # is_on_right: heading east along the equator, south is right.
+    south = np.array(coords.latlng_to_xyz(-5.0, 45.0), dtype=np.float64)
+    north = np.array(coords.latlng_to_xyz(5.0, 45.0), dtype=np.float64)
+    assert pl.is_on_right(south)
+    assert not pl.is_on_right(north)
+
+
+def test_polyline_intersects():
+    a = tf.make_polyline("0:-10, 0:10")
+    b = tf.make_polyline("-10:0, 10:0")
+    c = tf.make_polyline("5:20, 10:30")
+    assert a.intersects(b)
+    assert not a.intersects(c)
+
+
+def test_polyline_suffix_centroid():
+    pl = tf.make_polyline("0:0, 0:45, 0:90")
+    suf = pl.get_suffix(0.5)
+    assert abs(suf.get_length() - math.pi / 4) < 1e-9
+    cen = pl.get_centroid()
+    lat, lon = coords.xyz_to_latlng(*(cen / np.linalg.norm(cen)))
+    assert abs(float(lat)) < 1e-9 and abs(float(lon) - 45) < 1e-9
