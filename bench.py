@@ -164,14 +164,17 @@ def run_subprocess(ncpu: int, scaling=False) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        lo = run_subprocess(8, scaling=True)
-        hi = run_subprocess(32, scaling=True)
-        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32")
+        n_lo, n_hi = (int(v) for v in pair.split(","))
+        lo = run_subprocess(n_lo, scaling=True)
+        hi = run_subprocess(n_hi, scaling=True)
+        eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
         print(json.dumps({
-            "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
-            "sec_8": lo["value"], "sec_32": hi["value"],
-            "pages_per_sec_8": lo["pages_per_sec"],
-            "pages_per_sec_32": hi["pages_per_sec"],
+            "metric": f"scaling efficiency ({n_lo} -> {n_hi} CPUs, "
+                      "same input)",
+            f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+            f"pages_per_sec_{n_lo}": lo["pages_per_sec"],
+            f"pages_per_sec_{n_hi}": hi["pages_per_sec"],
             "n_pages": lo["n_pages"],
             "scaling_efficiency": round(eff, 3),
             "sf": sf_dir,

@@ -213,6 +213,89 @@ def geo_covering_tokens(sf_dir):
     return pd.DataFrame(rows, columns=["polygon_id", "token"])
 
 
+def s2_knn(sf_dir, k=5):
+    """The same kNN result as geo_knn but computed through the S2
+    PointIndex + ClosestPointQuery actor path (cell-pruned best-first
+    search) — shares geo_knn's SQL oracle, proving the indexed path
+    matches the brute/SQL definition exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    import numpy as np
+    from ..stages.knn import knn_pipeline
+
+    docs = _docs(sf_dir).to_pandas()
+    did = docs["doc_id"].to_numpy()
+    lat = ((did * 7919) % 18000) / 100.0 - 90.0
+    lon = ((did * 104729) % 36000) / 100.0 - 180.0
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).to_pandas()
+    qk = np.sort(cust["c_custkey"].to_numpy())
+    qk = qk[qk < 20]
+    qdf = pd.DataFrame({
+        "query_id": qk,
+        "lat": ((qk * 3571) % 18000) / 100.0 - 90.0,
+        "lon": ((qk * 6689) % 36000) / 100.0 - 180.0,
+    })
+    queries = rd.from_pandas(qdf)
+    out = knn_pipeline({"lat": lat, "lon": lon, "ids": did}, queries,
+                       k=k, concurrency=1).to_pandas()
+    out = out.rename(columns={"neighbor_id": "doc_id"})
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out[["query_id", "doc_id", "rank"]]
+
+
+def geo_polyline_ops(sf_dir):
+    """Polyline length/interpolate over nation-derived chains (rows-only;
+    semantics tested against closed-form values in tests)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..core.polyline import Polyline
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    rows = []
+    for key in nat["n_nationkey"].tolist():
+        lat0 = (key * 37) % 120 - 60.0
+        lon0 = (key * 73) % 300 - 150.0
+        lats = [lat0, lat0 + 1.0, lat0 + 1.0]
+        lons = [lon0, lon0, lon0 + 1.0]
+        pl = Polyline.from_latlng_degrees(lats, lons)
+        mid = pl.interpolate(0.5)
+        from . import geo_queries  # noqa: F401  (self-import guard)
+        from ..core import coords
+        mlat, mlon = coords.xyz_to_latlng(*mid)
+        rows.append((key, round(pl.get_length(), 12),
+                     round(float(mlat), 9), round(float(mlon), 9)))
+    return pd.DataFrame(rows, columns=["n_nationkey", "length_rad",
+                                       "mid_lat", "mid_lon"])
+
+
+def geo_boolean_union(sf_dir):
+    """Boolean classification: pages-derived points vs the UNION of two
+    overlapping polygons, exact PIP semantics (rows-only; identities
+    tested in tests/test_booleans.py)."""
+    import pandas as pd
+    from ..core import booleans as bo
+    from ..core import coords
+    from ..core.loop import Loop
+    from ..core.polygon import Polygon
+    a = Polygon([Loop.make_regular(10.0, 20.0, 5.0e-2, 64)])
+    b = Polygon([Loop.make_regular(10.0, 23.0, 5.0e-2, 64)])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        pts = np.stack([x, y, z], axis=1)
+        res = bo.contains_points_bool(bo.UNION, a, b, pts)
+        keep = batch.filter(pa.array(res))
+        return pa.table({"doc_id": keep["doc_id"]})
+
+    return geo_points(sf_dir).map_batches(classify, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_bbox_filter": geo_bbox_filter,
@@ -220,8 +303,11 @@ QUERIES = {
     "geo_grid_tile_count": geo_grid_tile_count,
     "geo_cell_encode": geo_cell_encode,
     "geo_knn": geo_knn,
+    "s2_knn": s2_knn,
     "geo_spatial_join": geo_spatial_join,
     "geo_covering_tokens": geo_covering_tokens,
+    "geo_polyline_ops": geo_polyline_ops,
+    "geo_boolean_union": geo_boolean_union,
 }
 
 _PTS = (f"SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon "
@@ -266,3 +352,6 @@ ORACLE = {
         "SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r "
         "WHERE rank <= 5"),
 }
+
+# The indexed kNN path must produce the identical result set.
+ORACLE["s2_knn"] = ORACLE["geo_knn"]

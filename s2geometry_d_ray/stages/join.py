@@ -92,8 +92,11 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
                 out_geoms[rec["polygon_id"]] = g
             return out_rows, out_geoms
 
+        # Fine-grained tasks (a few polygons each) so a handful of
+        # high-vertex-count polygons can't straggle one worker.
         ncpu = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
-        chunks = [polygons[i::ncpu] for i in range(ncpu)]
+        n_chunks = min(len(polygons), 4 * ncpu)
+        chunks = [polygons[i::n_chunks] for i in range(n_chunks)]
         for part_rows, part_geoms in ray.get(
                 [cover_chunk.remote(c) for c in chunks if c]):
             rows.extend(part_rows)
