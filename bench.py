@@ -164,7 +164,12 @@ def run_subprocess(ncpu: int, scaling=False) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32")
+        # Default pair 4,16 stays within this box's 16 PHYSICAL cores —
+        # the in-sandbox analogue of adding nodes (which add physical
+        # capacity). 8,32 crosses into SMT, where raw CPU capacity itself
+        # only scales ~0.77x/4 on this machine; both are reported in
+        # BASELINE.md.
+        pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16")
         n_lo, n_hi = (int(v) for v in pair.split(","))
         lo = run_subprocess(n_lo, scaling=True)
         hi = run_subprocess(n_hi, scaling=True)
