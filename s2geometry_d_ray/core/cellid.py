@@ -133,6 +133,52 @@ def child_scalar(cell_id, pos):
     return cid + (2 * pos - 3) * new_lsb
 
 
+def _st_to_ij_scalar(s):
+    v = LIMIT_IJ * s - 0.5
+    r = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+    return min(LIMIT_IJ - 1, max(0, r))
+
+
+def _from_face_ij_wrap_scalar(face, i, j):
+    """Scalar fromFaceIJWrap (s2cell_id.d:1163-1194)."""
+    import math
+    i = max(-1, min(MAX_SIZE, i))
+    j = max(-1, min(MAX_SIZE, j))
+    scale = 1.0 / MAX_SIZE
+    limit = math.nextafter(1.0, 2.0)
+    u = max(-limit, min(limit, scale * (2 * (i - MAX_SIZE // 2) + 1)))
+    v = max(-limit, min(limit, scale * (2 * (j - MAX_SIZE // 2) + 1)))
+    x, y, z = coords.face_uv_to_xyz_scalar(face, u, v)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax > ay:
+        nface = 0 if ax > az else 2
+    else:
+        nface = 1 if ay > az else 2
+    comp = (x, y, z)[nface]
+    if comp < 0:
+        nface += 3
+    if nface == 0:
+        nu, nv = y / x, z / x
+    elif nface == 1:
+        nu, nv = -x / y, z / y
+    elif nface == 2:
+        nu, nv = -x / z, -y / z
+    elif nface == 3:
+        nu, nv = z / x, y / x
+    elif nface == 4:
+        nu, nv = z / y, -x / y
+    else:
+        nu, nv = -y / z, -x / z
+    return from_face_ij_scalar(nface, _st_to_ij_scalar(0.5 * (nu + 1.0)),
+                               _st_to_ij_scalar(0.5 * (nv + 1.0)))
+
+
+def _from_face_ij_same_scalar(face, i, j, same_face):
+    if same_face and 0 <= i < MAX_SIZE and 0 <= j < MAX_SIZE:
+        return from_face_ij_scalar(face, i, j)
+    return _from_face_ij_wrap_scalar(face, i, j)
+
+
 # ---------------------------------------------------------------------------
 # Encode: (face, i, j) -> leaf id, and the full latlng/xyz geocode kernel.
 # ---------------------------------------------------------------------------
@@ -439,18 +485,18 @@ def edge_neighbors(cell_id):
 
 def all_neighbors(cell_id, nbr_level=None):
     """All neighbors at nbr_level (>= own level): the ring of 8 for
-    equal level (s2cell_id.d:939-986). Scalar helper used by coverer/expand."""
-    cid = np.uint64(cell_id)
-    own = int(level(cid))
+    equal level (s2cell_id.d:939-986). Scalar fast path (plain ints)."""
+    cid = int(cell_id)
+    own = level_scalar(cid)
     if nbr_level is None:
         nbr_level = own
     assert nbr_level >= own
-    face, i, j = (int(v) for v in to_face_ij(cid))
+    face, i, j = to_face_ij_scalar(cid)
     size = 1 << (MAX_LEVEL - own)
     i &= -size
     j &= -size
     nbr_size = 1 << (MAX_LEVEL - nbr_level)
-    out = []
+    out = set()
     k = -nbr_size
     while True:
         if k < 0:
@@ -462,29 +508,26 @@ def all_neighbors(cell_id, nbr_level=None):
             # North and south neighbors.
             for jj, same in ((j - nbr_size, j - nbr_size >= 0),
                              (j + size, j + size < MAX_SIZE)):
-                leaf = _from_face_ij_same(np.int64([face]), np.int64([i + k]),
-                                          np.int64([jj]),
-                                          np.array([same]))
-                out.append(parent(leaf, nbr_level)[0])
+                leaf = _from_face_ij_same_scalar(face, i + k, jj, same)
+                out.add(parent_scalar(leaf, nbr_level))
         # East and west neighbors.
         for ii, same in ((i - nbr_size, i - nbr_size >= 0 and j_same),
                          (i + size, i + size < MAX_SIZE and j_same)):
-            leaf = _from_face_ij_same(np.int64([face]), np.int64([ii]),
-                                      np.int64([j + k]), np.array([same]))
-            out.append(parent(leaf, nbr_level)[0])
+            leaf = _from_face_ij_same_scalar(face, ii, j + k, same)
+            out.add(parent_scalar(leaf, nbr_level))
         if k >= size:
             break
         k += nbr_size
         if k > size:
             k = size
-    return np.unique(np.array([o for o in out], dtype=np.uint64))
+    return np.array(sorted(out), dtype=np.uint64)
 
 
 def vertex_neighbors(cell_id, lvl):
     """Neighbors at a strictly COARSER level (lvl < level(cell_id)) touching
     the vertex closest to this cell (s2cell_id.d:900-934). Scalar helper."""
-    cid = np.uint64(cell_id)
-    face, i, j = (int(v) for v in to_face_ij(cid))
+    cid = int(cell_id)
+    face, i, j = to_face_ij_scalar(cid)
     halfsize = 1 << (MAX_LEVEL - lvl - 1)
     size = halfsize << 1
     if i & halfsize:
@@ -495,12 +538,11 @@ def vertex_neighbors(cell_id, lvl):
         joffset, jsame = size, (j + size < MAX_SIZE)
     else:
         joffset, jsame = -size, (j - size >= 0)
-    out = [parent(cid, lvl)]
+    out = [parent_scalar(cid, lvl)]
     pairs = [(i + ioffset, j, isame), (i, j + joffset, jsame)]
     if isame or jsame:  # the diagonal exists except at a cube-face corner
         pairs.append((i + ioffset, j + joffset, isame and jsame))
     for ii, jj, same in pairs:
-        leaf = _from_face_ij_same(np.int64([face]), np.int64([ii]),
-                                  np.int64([jj]), np.array([same]))
-        out.append(parent(leaf, lvl)[0])
-    return np.array([np.uint64(o) for o in out], dtype=np.uint64)
+        leaf = _from_face_ij_same_scalar(face, ii, jj, same)
+        out.append(parent_scalar(leaf, lvl))
+    return np.array(out, dtype=np.uint64)
