@@ -296,6 +296,46 @@ def geo_boolean_union(sf_dir):
                                           zero_copy_batch=True)
 
 
+def geo_snap_e6(sf_dir):
+    """IntLatLngSnapFunction at E6: fixed-point micro-degree snapping,
+    exactly reproducible in SQL (ROUND is half-away on both sides)."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        from ..core.coords import lround
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lat_e6": pa.array(lround(lat * 1e6).astype(np.int64),
+                               pa.int64()),
+            "lon_e6": pa.array(lround(lon * 1e6).astype(np.int64),
+                               pa.int64()),
+        })
+    return geo_points(sf_dir).map_batches(kernel, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def geo_simplify(sf_dir):
+    """Polyline simplification counts per nation chain (rows-only)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..core import coords
+    from ..core.snap import simplify_polyline
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    rows = []
+    for key in nat["n_nationkey"].tolist():
+        lat0 = (key * 37) % 120 - 60.0
+        lon0 = (key * 73) % 300 - 150.0
+        t = np.linspace(0, 1, 64)
+        lat = lat0 + 2.0 * t + 0.05 * np.sin(8 * np.pi * t)
+        lon = lon0 + 2.0 * t
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        v = np.stack([x, y, z], axis=1)
+        kept = simplify_polyline(v, 1e-4)
+        rows.append((key, 64, len(kept)))
+    return pd.DataFrame(rows, columns=["n_nationkey", "n_in", "n_kept"])
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_bbox_filter": geo_bbox_filter,
@@ -308,6 +348,8 @@ QUERIES = {
     "geo_covering_tokens": geo_covering_tokens,
     "geo_polyline_ops": geo_polyline_ops,
     "geo_boolean_union": geo_boolean_union,
+    "geo_snap_e6": geo_snap_e6,
+    "geo_simplify": geo_simplify,
 }
 
 _PTS = (f"SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon "
@@ -355,3 +397,8 @@ ORACLE = {
 
 # The indexed kNN path must produce the identical result set.
 ORACLE["s2_knn"] = ORACLE["geo_knn"]
+
+ORACLE["geo_snap_e6"] = (
+    f"SELECT doc_id, CAST(ROUND(({GEO_LAT_EXPR}) * 1000000) AS BIGINT) "
+    f"AS lat_e6, CAST(ROUND(({GEO_LON_EXPR}) * 1000000) AS BIGINT) "
+    "AS lon_e6 FROM documents")
