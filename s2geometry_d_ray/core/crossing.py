@@ -1,0 +1,128 @@
+"""Crossing-edge queries over polygon shape indexes.
+
+Reimplements the query semantics of:
+  - S2CrossingEdgeQuery (src/s2/s2crossing_edge_query.d:78-150): which
+    edges of an indexed shape are crossed by a query edge AB; brute force
+    below MAX_BRUTE_FORCE_EDGES=27 (:50-52).
+  - shapeutil.visitCrossingEdgePairs (src/s2/shapeutil/
+    visit_crossing_edge_pairs.d:54-334): all crossing edge pairs between
+    two indexes, by co-partitioning their index cells.
+
+Candidates come from the shape-index buckets whose cells intersect the
+query edge (conservative superset); verification uses the robust
+crossing_sign predicate."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid as ci
+from .cap import Cap
+from .coverer import RegionCoverer
+from .predicates import crossing_sign
+
+MAX_BRUTE_FORCE_EDGES = 27  # s2crossing_edge_query.d:50-52
+
+
+def _edge_candidate_ids(index, a, b):
+    """Edge ids of `index` whose bucket cells may intersect edge AB."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mid = a + b
+    mid = mid / np.linalg.norm(mid)
+    half = float(np.arccos(np.clip(np.dot(a, b), -1, 1))) / 2.0
+    cap = Cap.from_center_angle(tuple(mid), half * 1.001 + 1e-12)
+    cov = RegionCoverer(max_cells=8).get_covering(cap)
+    # Bucket cells intersecting any covering cell (range overlap on the
+    # sorted bucket array).
+    lo = np.searchsorted(index.cells, ci.range_min(cov))
+    hi = np.searchsorted(index.cells, ci.range_max(cov), side="right")
+    out = []
+    for s, e in zip(lo.tolist(), hi.tolist()):
+        for k in range(s, e):
+            out.append(index.edge_ids[index.offsets[k]:index.offsets[k + 1]])
+    # A covering cell may also be CONTAINED in a coarser bucket cell.
+    pos = np.searchsorted(index.cells, cov)
+    pos = np.maximum(pos - 1, 0)
+    for p, c in zip(pos.tolist(), cov.tolist()):
+        if p < len(index.cells) and bool(ci.contains(
+                np.uint64(index.cells[p]), np.uint64(c))):
+            out.append(index.edge_ids[index.offsets[p]:
+                                      index.offsets[p + 1]])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def crossing_edges(index, a, b, brute_force=None):
+    """Edge ids of the indexed polygon properly crossed by edge AB
+    (crossing_sign > 0); shared-vertex touches excluded, matching
+    CrossingType::INTERIOR."""
+    n = index.n_edges
+    if brute_force is None:
+        brute_force = n <= MAX_BRUTE_FORCE_EDGES
+    cand = np.arange(n) if brute_force else _edge_candidate_ids(index, a, b)
+    at = tuple(np.asarray(a, dtype=np.float64))
+    bt = tuple(np.asarray(b, dtype=np.float64))
+    out = []
+    for e in cand.tolist():
+        if crossing_sign(at, bt, tuple(index.edge_a[e]),
+                         tuple(index.edge_b[e])) > 0:
+            out.append(e)
+    return np.array(out, dtype=np.int64)
+
+
+def crossing_edge_pairs(index_a, index_b):
+    """All (edge_of_a, edge_of_b) interior-crossing pairs between two
+    indexed polygons, via bucket-cell co-partitioning."""
+    pairs = set()
+    # For each bucket cell of A, find B's bucket cells whose ranges
+    # overlap, and test the edge lists pairwise.
+    b_min = ci.range_min(index_b.cells)
+    b_max = ci.range_max(index_b.cells)
+    for k, cell in enumerate(index_a.cells.tolist()):
+        cmin = int(ci.range_min(np.uint64(cell)))
+        cmax = int(ci.range_max(np.uint64(cell)))
+        lo = int(np.searchsorted(b_max, cmin))
+        hi = int(np.searchsorted(b_min, cmax, side="right"))
+        if lo >= hi:
+            continue
+        ea = index_a.edge_ids[index_a.offsets[k]:index_a.offsets[k + 1]]
+        for kb in range(lo, hi):
+            eb = index_b.edge_ids[index_b.offsets[kb]:
+                                  index_b.offsets[kb + 1]]
+            for i in ea.tolist():
+                ai = tuple(index_a.edge_a[i])
+                bi = tuple(index_a.edge_b[i])
+                for j in eb.tolist():
+                    if (i, j) in pairs:
+                        continue
+                    if crossing_sign(ai, bi, tuple(index_b.edge_a[j]),
+                                     tuple(index_b.edge_b[j])) > 0:
+                        pairs.add((i, j))
+    return sorted(pairs)
+
+
+def polygons_boundaries_cross(index_a, index_b):
+    """True if the two polygon boundaries properly cross anywhere."""
+    b_min = ci.range_min(index_b.cells)
+    b_max = ci.range_max(index_b.cells)
+    for k, cell in enumerate(index_a.cells.tolist()):
+        cmin = int(ci.range_min(np.uint64(cell)))
+        cmax = int(ci.range_max(np.uint64(cell)))
+        lo = int(np.searchsorted(b_max, cmin))
+        hi = int(np.searchsorted(b_min, cmax, side="right"))
+        if lo >= hi:
+            continue
+        ea = index_a.edge_ids[index_a.offsets[k]:index_a.offsets[k + 1]]
+        for kb in range(lo, hi):
+            eb = index_b.edge_ids[index_b.offsets[kb]:
+                                  index_b.offsets[kb + 1]]
+            for i in ea.tolist():
+                ai = tuple(index_a.edge_a[i])
+                bi = tuple(index_a.edge_b[i])
+                for j in eb.tolist():
+                    if crossing_sign(ai, bi, tuple(index_b.edge_a[j]),
+                                     tuple(index_b.edge_b[j])) > 0:
+                        return True
+    return False
