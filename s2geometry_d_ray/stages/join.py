@@ -82,10 +82,11 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
         import ray
 
         @ray.remote(num_cpus=1)
-        def cover_chunk(chunk):
+        def cover_chunk(all_polys, ids):
             out_rows = []
             out_geoms = {}
-            for rec in chunk:
+            for k in ids:
+                rec = all_polys[k]
                 r, g = _cover_one(rec, min_level, max_level, max_cells,
                                   interior_max_cells)
                 out_rows.extend(r)
@@ -93,12 +94,15 @@ def build_polygon_index(polygons, min_level=10, max_level=16, max_cells=8,
             return out_rows, out_geoms
 
         # Fine-grained tasks (a few polygons each) so a handful of
-        # high-vertex-count polygons can't straggle one worker.
+        # high-vertex-count polygons can't straggle one worker; the
+        # polygon list ships ONCE via ray.put, tasks get index lists.
         ncpu = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
         n_chunks = min(len(polygons), 4 * ncpu)
-        chunks = [polygons[i::n_chunks] for i in range(n_chunks)]
-        for part_rows, part_geoms in ray.get(
-                [cover_chunk.remote(c) for c in chunks if c]):
+        polys_ref = ray.put(polygons)
+        futs = [cover_chunk.remote(polys_ref,
+                                   list(range(i, len(polygons), n_chunks)))
+                for i in range(n_chunks)]
+        for part_rows, part_geoms in ray.get(futs):
             rows.extend(part_rows)
             geoms.update(part_geoms)
     else:
