@@ -336,6 +336,45 @@ def geo_simplify(sf_dir):
     return pd.DataFrame(rows, columns=["n_nationkey", "n_in", "n_kept"])
 
 
+def geo_radius_join(sf_dir, radius_km=800.0):
+    """Radius query: all (query, point) pairs within radius_km, squared
+    chord distance, exactly reproduced in SQL (the distance-join /
+    S2ClosestEdgeQuery-with-max-distance capability)."""
+    import ray.data as rd
+    earth_km = 6371.01
+    rad = radius_km / earth_km
+    import math
+    limit2 = min(4.0, 4.0 * math.sin(0.5 * rad) ** 2)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).to_pandas()
+    qkeys = np.sort(cust["c_custkey"].to_numpy())
+    qkeys = qkeys[qkeys < 20]
+    qlat = np.deg2rad(((qkeys * 3571) % 18000) / 100.0 - 90.0)
+    qlon = np.deg2rad(((qkeys * 6689) % 36000) / 100.0 - 180.0)
+    qm = np.stack([np.cos(qlat) * np.cos(qlon),
+                   np.cos(qlat) * np.sin(qlon), np.sin(qlat)], axis=1)
+
+    def within(batch: pa.Table) -> pa.Table:
+        lat = np.deg2rad(batch["lat"].to_numpy(zero_copy_only=False))
+        lon = np.deg2rad(batch["lon"].to_numpy(zero_copy_only=False))
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        px = np.cos(lat) * np.cos(lon)
+        py = np.cos(lat) * np.sin(lon)
+        pz = np.sin(lat)
+        d2 = ((qm[:, 0:1] - px[None, :]) ** 2
+              + (qm[:, 1:2] - py[None, :]) ** 2
+              + (qm[:, 2:3] - pz[None, :]) ** 2)
+        qi, pi = np.nonzero(d2 <= limit2)
+        return pa.table({
+            "query_id": pa.array(qkeys[qi], pa.int64()),
+            "doc_id": pa.array(did[pi], pa.int64()),
+        })
+
+    return geo_points(sf_dir).map_batches(within, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_bbox_filter": geo_bbox_filter,
@@ -350,6 +389,7 @@ QUERIES = {
     "geo_boolean_union": geo_boolean_union,
     "geo_snap_e6": geo_snap_e6,
     "geo_simplify": geo_simplify,
+    "geo_radius_join": geo_radius_join,
 }
 
 _PTS = (f"SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon "
@@ -397,6 +437,25 @@ ORACLE = {
 
 # The indexed kNN path must produce the identical result set.
 ORACLE["s2_knn"] = ORACLE["geo_knn"]
+
+# radius join: same chord-distance formula as geo_knn's oracle.
+import math as _math
+_R = 800.0 / 6371.01
+_LIMIT2 = repr(min(4.0, 4.0 * _math.sin(0.5 * _R) ** 2))
+ORACLE["geo_radius_join"] = (
+    "WITH pts AS (SELECT doc_id, "
+    f"radians({GEO_LAT_EXPR}) AS lat, radians({GEO_LON_EXPR}) AS lon "
+    "FROM documents), "
+    "q AS (SELECT c_custkey AS query_id, "
+    "radians(((c_custkey * 3571) % 18000) / 100.0 - 90.0) AS qlat, "
+    "radians(((c_custkey * 6689) % 36000) / 100.0 - 180.0) AS qlon "
+    "FROM customer WHERE c_custkey < 20) "
+    "SELECT q.query_id, pts.doc_id FROM q, pts WHERE "
+    "(cos(qlat)*cos(qlon) - cos(lat)*cos(lon)) * "
+    "(cos(qlat)*cos(qlon) - cos(lat)*cos(lon)) + "
+    "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) * "
+    "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) + "
+    "(sin(qlat) - sin(lat)) * (sin(qlat) - sin(lat)) <= " + _LIMIT2)
 
 ORACLE["geo_snap_e6"] = (
     f"SELECT doc_id, CAST(ROUND(({GEO_LAT_EXPR}) * 1000000) AS BIGINT) "
