@@ -223,8 +223,41 @@ def multimodal_decode_demo(sf_dir):
                               "decode_ok"])
 
 
+def near_dup_clusters(sf_dir, threshold=0.35):
+    """Connected components over MinHash-LSH verified pairs: each doc maps
+    to its component's min doc_id (the canonical keeper).
+
+    The pair set is provably small (only verified near-dups), so
+    union-find runs on the driver (ray_guide 'Near-dup': driver-side
+    union-find is allowed when the candidate set is small; the scale
+    fallback is iterated min-label propagation via groupby)."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        union(int(a), int(b))
+    docs = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pd.DataFrame({
+        "doc_id": docs,
+        "cluster_id": [find(d) for d in docs],
+    })
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "near_dup_clusters": near_dup_clusters,
     "token_counts": token_counts,
     "text_quality": text_quality,
     "lang_stats": lang_stats,
