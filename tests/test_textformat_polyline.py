@@ -74,3 +74,37 @@ def test_polyline_suffix_centroid():
     cen = pl.get_centroid()
     lat, lon = coords.xyz_to_latlng(*(cen / np.linalg.norm(cen)))
     assert abs(float(lat)) < 1e-9 and abs(float(lon) - 45) < 1e-9
+
+
+def test_wedge_relations():
+    from s2geometry_d_ray.core.wedge import (WEDGE_EQUALS,
+                                             WEDGE_IS_DISJOINT,
+                                             WEDGE_PROPERLY_CONTAINS,
+                                             get_wedge_relation,
+                                             wedge_contains,
+                                             wedge_intersects)
+
+    def p(lat, lon):
+        x, y, z = coords.latlng_to_xyz(float(lat), float(lon))
+        return (float(x), float(y), float(z))
+
+    hub = p(0, 0)
+    # Wedge = rays CW from x1x0 to x1x2 (left side of the chain): with
+    # a0 east and a2 north, wedge A is the 270-degree region; wedge B
+    # (b0 NE-low .. b2 NE-high) is wider still and contains A.
+    a0, a2 = p(0, 10), p(10, 0)
+    b0, b2 = p(2, 8), p(8, 2)
+    assert get_wedge_relation(a0, hub, a2, b0, b2) == \
+        "is_properly_contained"
+    assert get_wedge_relation(b0, hub, b2, a0, a2) == \
+        WEDGE_PROPERLY_CONTAINS  # symmetric consistency
+    assert wedge_contains(b0, hub, b2, a0, a2)
+    assert wedge_intersects(a0, hub, a2, b0, b2)
+    assert get_wedge_relation(a0, hub, a2, a0, a2) == WEDGE_EQUALS
+    # Disjoint: the narrow NE wedge (a2..a0 reversed) vs the narrow SW
+    # wedge — non-overlapping angle ranges around the hub.
+    n0, n2 = p(10, 0), p(0, 10)    # CW from north to east = 90-deg NE
+    s0, s2 = p(-10, 0), p(0, -10)  # CW from south to west = 90-deg SW
+    assert get_wedge_relation(n0, hub, n2, s0, s2) == WEDGE_IS_DISJOINT
+    assert not wedge_intersects(n0, hub, n2, s0, s2)
+    del WEDGE_IS_DISJOINT
