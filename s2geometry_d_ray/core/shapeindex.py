@@ -166,6 +166,18 @@ class PolygonShapeIndex:
             out[rows] = inside
         return out
 
+    def boundary_distance2(self, points, chunk=8192):
+        """Min squared chord distance from each point to the polygon
+        boundary (the S2ClosestEdgeQuery capability, brute-vectorized
+        over all edges in chunks to bound temporaries)."""
+        from .edge import edge_distances2
+        pts = np.asarray(points, dtype=np.float64)
+        out = np.empty(len(pts))
+        for s in range(0, len(pts), chunk):
+            out[s:s + chunk] = edge_distances2(
+                pts[s:s + chunk], self.edge_a, self.edge_b).min(axis=1)
+        return out
+
     def _parity(self, p, bucket, eids):
         """contains_center(bucket) XOR crossings((center -> p), edges)."""
         c0 = self.centers[bucket]

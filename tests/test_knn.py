@@ -192,3 +192,17 @@ def test_project_interpolate():
     plat, plon = coords.xyz_to_latlng(*p)
     assert abs(float(plat)) < 1e-9
     assert abs(float(plon) - 45.0) < 1e-9
+
+
+def test_polygon_boundary_distance():
+    from s2geometry_d_ray.core.edge import chord2_to_radians
+    from s2geometry_d_ray.core.polygon import Polygon
+    from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+    loop = Loop.make_regular(0.0, 0.0, 0.01, 4096)
+    idx = PolygonShapeIndex(Polygon([loop]))
+    # Distance from the center to a dense regular ring ~= the radius.
+    center = np.array(coords.latlng_to_xyz(0.0, 0.0), dtype=np.float64)
+    outside = np.array(coords.latlng_to_xyz(0.0, 2.0), dtype=np.float64)
+    d2 = idx.boundary_distance2(np.stack([center, outside]))
+    assert abs(chord2_to_radians(d2[0]) - 0.01) < 1e-5
+    assert abs(chord2_to_radians(d2[1]) - (math.radians(2.0) - 0.01)) < 1e-4
