@@ -104,10 +104,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     headline, n_join_rows = _timed_join()
     if scaling_mode:
-        # Best-of-2: the shared VM is noisy and the 16/32-CPU job is only
+        # Best-of-3: the shared VM is noisy and the 16/32-CPU job is only
         # a few seconds; the min is the standard steady-state estimate.
-        h2, _ = _timed_join()
-        headline = min(headline, h2)
+        for _ in range(2):
+            h2, _ = _timed_join()
+            headline = min(headline, h2)
     timings["spatial_join"] = round(headline, 3)
 
     if scaling_mode:
