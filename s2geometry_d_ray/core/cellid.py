@@ -340,6 +340,49 @@ def prev_id(cell_id):
     return cid - (lsb(cid) << _ONE)
 
 
+def advance(cell_id, steps):
+    """Advance along the Hilbert curve at this cell's level, clamped to
+    the [begin, end) range of all six faces (s2cell_id.d:602-630)."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    steps = np.asarray(steps, dtype=np.int64)
+    step_shift = np.log2(lsb(cid).astype(np.float64)).astype(np.int64) + 1
+    # Clamp: min steps to begin, max steps to end.
+    min_steps = -(cid >> step_shift.astype(np.uint64)).astype(np.int64)
+    max_steps = (((np.uint64(6) << np.uint64(POS_BITS)) - cid)
+                 >> step_shift.astype(np.uint64)).astype(np.int64)
+    steps = np.clip(steps, min_steps, max_steps)
+    # uint64 modular shift: int64 would overflow for coarse levels
+    # (shift up to 61); the clamped result always fits mod 2^64.
+    off = steps.astype(np.uint64) << step_shift.astype(np.uint64)
+    return cid + off
+
+
+def next_wrap(cell_id):
+    """next() with wraparound from the last cell to the first
+    (s2cell_id.d:568-586)."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    n = next_id(cid)
+    wrap = n >= (np.uint64(6) << np.uint64(POS_BITS))
+    return np.where(wrap, n - (np.uint64(6) << np.uint64(POS_BITS)), n)
+
+
+def prev_wrap(cell_id):
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    p = prev_id(cid)
+    # prev of the first cell underflows past face 0.
+    wrap = p >= (np.uint64(6) << np.uint64(POS_BITS))  # unsigned underflow
+    return np.where(wrap, p + (np.uint64(6) << np.uint64(POS_BITS)), p)
+
+
+def distance_from_begin(cell_id):
+    """Number of same-level steps from childBegin(face 0, level)
+    (s2cell_id.d:640-656)."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    step_shift = np.log2(lsb(cid).astype(np.float64)).astype(np.uint64) \
+        + np.uint64(1)
+    return (cid >> step_shift).astype(np.int64)
+
+
 def maximum_tile(cell_id, limit):
     """Largest cell with same range_min() not extending past limit
     (s2cell_id.d:673-700). Scalar loop — used on partition boundaries only."""

@@ -220,3 +220,33 @@ def test_st_uv_roundtrip_and_ij():
     assert int(coords.st_to_ij(np.float64([0.5]))[0]) == 1 << 29
     assert int(coords.st_to_ij(np.float64([0.0]))[0]) == 0
     assert int(coords.st_to_ij(np.float64([1.0]))[0]) == coords.LIMIT_IJ - 1
+
+
+def test_hilbert_iteration():
+    # advance is consistent with repeated next; wrap closes the curve.
+    ids = random_cellids(200)
+    a5 = ci.advance(ids, np.full(len(ids), 5))
+    cur = ids.copy()
+    for _ in range(5):
+        cur = ci.next_id(cur)
+    # advance clamps at the end of face 5; compare only non-clamped rows.
+    end = np.uint64(6) << np.uint64(ci.POS_BITS)
+    ok = cur < end
+    assert (a5[ok] == cur[ok]).all()
+    # distance_from_begin round-trips through advance from begin.
+    lvl = ci.level(ids)
+    begin = ci.child_begin(ci.parent(ci.from_face_ij(
+        np.uint64([0]), np.int64([0]), np.int64([0])), 0), 30)
+    d = ci.distance_from_begin(ids)
+    begins = np.full(len(ids), 0, dtype=np.uint64)
+    for i in range(len(ids)):
+        b = ci.child_begin(np.uint64([0x1000000000000000]), int(lvl[i]))[0]
+        begins[i] = b
+    back = ci.advance(begins, d)
+    assert (back == ids).all()
+    # next_wrap from the global last cell returns to the global first.
+    last_leaf = np.uint64([(6 << 61) - 1])
+    first = ci.next_wrap(last_leaf)
+    assert int(first[0]) == int(ci.range_min(np.uint64([1 << 60]))[0]) or \
+        int(ci.level(first)[0]) == 30
+    assert int(ci.prev_wrap(first)[0]) == int(last_leaf[0])
