@@ -229,10 +229,17 @@ def test_hilbert_iteration():
     cur = ids.copy()
     for _ in range(5):
         cur = ci.next_id(cur)
-    # advance clamps at the end of face 5; compare only non-clamped rows.
-    end = np.uint64(6) << np.uint64(ci.POS_BITS)
-    ok = cur < end
+    # advance clamps at the end of face 5; compare only rows whose true
+    # (unwrapped) position stays below the global end.
+    end = 6 << ci.POS_BITS
+    step = 2 * ci.lsb(ids).astype(object)
+    ok = np.array([int(i) + 5 * int(s) < end
+                   for i, s in zip(ids, step)])
     assert (a5[ok] == cur[ok]).all()
+    # Clamped rows stop exactly at the last valid cell of face 5.
+    if (~ok).any():
+        stopped = a5[~ok]
+        assert (stopped.astype(object) <= end - 1).all()
     # distance_from_begin round-trips through advance from begin.
     lvl = ci.level(ids)
     begin = ci.child_begin(ci.parent(ci.from_face_ij(
