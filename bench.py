@@ -8,10 +8,11 @@ Common-Crawl-style pages scaled to the sf of $GRAFT_SF_DIR (default
 /root/testdata/sf0.1 -> 500k pages, 100 polygons), plus representative
 query timings over the sf_dir tables.
 
---scaling: runs the headline twice in fresh subprocesses at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports throughputs +
-scaling efficiency (the sandbox substitute for the N vs 4N node
-criterion; see BASELINE.md).
+--scaling: runs the headline in two fresh subprocesses at
+GRAFT_SCALING_CPUS (default "4,16" — within this box's physical cores;
+set "8,32" for the SMT pair) on the same 8x-sized input and reports
+throughputs + scaling efficiency (the sandbox substitute for the
+N vs 4N node criterion; see BASELINE.md).
 """
 
 from __future__ import annotations
