@@ -92,6 +92,24 @@ def boolean_covering(op, poly_a, poly_b, level=14, max_cells=256):
     return fn(np.sort(ca), np.sort(cb))
 
 
+def overlap_fractions(poly_a, poly_b, level=14, max_cells=256):
+    """(area(a ∩ b)/area(a), area(a ∩ b)/area(b)) on the cell raster —
+    the getOverlapFractions capability (s2polygon.d:600-624), approximated
+    at the given level (error shrinks as 4^-level)."""
+    from . import cellunion as cu2
+    ca = cu.denormalize(covering_for(poly_a, min_level=level,
+                                     max_level=level,
+                                     max_cells=max_cells), level)
+    cb = cu.denormalize(covering_for(poly_b, min_level=level,
+                                     max_level=level,
+                                     max_cells=max_cells), level)
+    it = covering_intersection(np.sort(ca), np.sort(cb))
+    na = cu2.leaf_cells_covered(ca)
+    nb = cu2.leaf_cells_covered(cb)
+    ni = cu2.leaf_cells_covered(it)
+    return (ni / na if na else 0.0, ni / nb if nb else 0.0)
+
+
 def cell_union_border_rings(ids, level=None):
     """Boundary rings of a cell union as lists of (face, si, ti) integer
     corners stitched on the leaf grid. Cells are denormalized to a single

@@ -145,3 +145,16 @@ class Cell:
 
     def get_cap_bound(self):
         return self.cap_bound()
+
+    def distance2_to_point(self, p):
+        """Squared chord distance from the cell to a point: 0 when
+        contained, else min distance to the 4 boundary edges
+        (s2cell.d:299-360 getDistance semantics)."""
+        if self.contains_point(p):
+            return 0.0
+        import numpy as np
+        from .edge import edge_distances2
+        v = np.asarray(self.vertices())
+        nxt = v[[1, 2, 3, 0]]
+        return float(edge_distances2(np.asarray(p, dtype=float)[None, :],
+                                     v, nxt).min())

@@ -45,6 +45,36 @@ def _cap_cell_union_bound(cap: Cap):
     return list(ci.vertex_neighbors(center_id, level))
 
 
+def flood_fill(region, start_cell_id, max_cells=100000):
+    """All edge-connected cells at start's level intersecting the region
+    (s2region_coverer.d:325-346). Arbitrary order -> returned sorted."""
+    start = int(start_cell_id)
+    lvl = ci.level_scalar(start)
+    seen = {start}
+    frontier = [start]
+    out = []
+    while frontier and len(out) < max_cells:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        out.append(cid)
+        for nbr in ci.edge_neighbors(np.uint64([cid]))[0].tolist():
+            nbr = ci.parent_scalar(int(nbr), lvl)
+            if nbr not in seen:
+                seen.add(nbr)
+                frontier.append(nbr)
+    return np.array(sorted(out), dtype=np.uint64)
+
+
+def get_simple_covering(region, start_point_xyz, level):
+    """Fixed-level covering by flood fill from the cell containing the
+    start point (s2region_coverer.d:315-318)."""
+    x, y, z = start_point_xyz
+    leaf = ci.cellid_from_xyz(np.float64([x]), np.float64([y]),
+                              np.float64([z]))[0]
+    return flood_fill(region, int(ci.parent(np.uint64([leaf]), level)[0]))
+
+
 class CovererOptions:
     def __init__(self, max_cells=8, min_level=0, max_level=ci.MAX_LEVEL,
                  level_mod=1):

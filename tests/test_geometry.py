@@ -173,3 +173,41 @@ def test_cellunion_setops():
     assert not cu.intersects_ids(diff, b).any()
     assert cu.leaf_cells_covered(diff) == cu.leaf_cells_covered(a) - \
         cu.leaf_cells_covered(b)
+
+
+def test_flood_fill_simple_covering():
+    from s2geometry_d_ray.core.coverer import get_simple_covering
+    cap = Cap.from_latlng_radius(10.0, 10.0, 0.01)
+    cov = get_simple_covering(cap, cap.center, 11)
+    assert len(cov) >= 4
+    # Every returned cell intersects; the fill covers sampled cap points.
+    for cid in cov.tolist():
+        assert cap.may_intersect_cell(Cell(np.uint64(cid)))
+    pts = sample_in_cap(np.asarray(cap.center), 0.0099, 500)
+    leaf = ci.cellid_from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+    assert cu.contains_ids(cov, ci.parent(leaf, 11)).all()
+
+
+def test_overlap_fractions():
+    from s2geometry_d_ray.core.booleans import overlap_fractions
+    from s2geometry_d_ray.core.polygon import Polygon
+    a = Polygon([Loop.make_regular(0.0, 0.0, 0.02, 64)])
+    b = Polygon([Loop.make_regular(0.0, 0.0, 0.02, 64)])  # identical
+    fa, fb = overlap_fractions(a, b, level=13)
+    assert fa > 0.95 and fb > 0.95
+    c = Polygon([Loop.make_regular(0.0, 5.0, 0.02, 64)])  # disjoint
+    fa2, fb2 = overlap_fractions(a, c, level=13)
+    assert fa2 == 0.0 and fb2 == 0.0
+
+
+def test_cell_distance_to_point():
+    from s2geometry_d_ray.core import coords as co
+    leaf = ci.cellid_from_latlng(np.float64([0.0]), np.float64([0.0]))[0]
+    cell = Cell(np.uint64(ci.parent(np.uint64([leaf]), 8)[0]))
+    inside = np.asarray(cell.center())
+    assert cell.distance2_to_point(inside) == 0.0
+    far = np.array(co.latlng_to_xyz(0.0, 10.0), dtype=float)
+    d2 = cell.distance2_to_point(far)
+    from s2geometry_d_ray.core.edge import chord2_to_radians
+    # ~10 deg minus the cell half-width (level 8 ~ 0.35 deg half)
+    assert 0.1 < np.degrees(chord2_to_radians(d2)) < 10.0
