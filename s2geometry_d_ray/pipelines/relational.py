@@ -16,11 +16,33 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ray.data.aggregate import Sum as RaySum
 
 
 def _read(sf_dir, table, columns):
     import ray.data as rd
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _join_partitions(sf_dir):
+    """Hash-join partition count sized to the fact table: ~128 MiB of
+    (compressed) lineitem per join partition, clamped to [8, 512].
+    At 100 TB this scales the shuffle fan-out with the data instead of
+    hard-coding a single-node constant."""
+    import os
+    try:
+        sz = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+    except OSError:
+        sz = 0
+    return max(8, min(512, sz // (128 << 20) + 8))
+
+
+def _filter_lt(col, cutoff):
+    """Vectorized Arrow predicate batch filter (col < cutoff)."""
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less(t[col], pa.scalar(cutoff)))
+    return f
 
 
 def _final_combine(partials_df, keys, sums=(), counts=()):
@@ -79,24 +101,30 @@ def q1_pricing_summary(sf_dir):
 def q3_top_orders(sf_dir):
     """Q3 shape: top-10 BUILDING-segment orders by open revenue.
 
-    customer filter -> broadcast key set -> orders filter -> broadcast
-    order-key set -> lineitem partial revenue -> tiny top-k."""
+    Fully distributed (no fact table ever touches the driver):
+      orders SEMI-JOIN building-customers (shuffle hash join)
+      lineitem per-block partial revenue  SEMI-JOIN filtered orders
+      -> groupby(l_orderkey) shuffle sum -> sort desc -> limit 10.
+    The only driver materialization is the 10-row result."""
     cutoff = np.datetime64("1995-03-15")
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_mktsegment"]).to_pandas()
-    ckeys = set(cust.loc[cust["c_mktsegment"] == "BUILDING",
-                         "c_custkey"].tolist())
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    okeys = set(orders.loc[
-        orders["o_custkey"].isin(ckeys)
-        & (orders["o_orderdate"].to_numpy() < cutoff),
-        "o_orderkey"].tolist())
+    nparts = _join_partitions(sf_dir)
+
+    building = _read(sf_dir, "customer",
+                     ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    open_orders = _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]
+                        ).map_batches(
+        _filter_lt("o_orderdate", pd.Timestamp("1995-03-15")),
+        batch_format="pyarrow").select_columns(
+        ["o_orderkey", "o_custkey"]).join(
+        building, join_type="left_semi", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",)).select_columns(
+        ["o_orderkey"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        df = df[(df["l_shipdate"].to_numpy() > cutoff)
-                & df["l_orderkey"].isin(okeys)]
+        df = df[df["l_shipdate"].to_numpy() > cutoff]
         if df.empty:
             return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
                                  "revenue_cents": pd.Series([],
@@ -106,49 +134,71 @@ def q3_top_orders(sf_dir):
         return df.groupby("l_orderkey", as_index=False).agg(
             revenue_cents=("revenue_cents", "sum"))
 
-    parts = _read(sf_dir, "lineitem",
-                  ["l_orderkey", "l_extendedprice", "l_discount",
-                   "l_shipdate"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
-    if parts.empty:
+    rev = _read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).join(
+        open_orders, join_type="left_semi", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",)).groupby(
+        "l_orderkey").aggregate(RaySum("revenue_cents",
+                                       alias_name="revenue_cents"))
+    out = rev.sort(["revenue_cents", "l_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    if out.empty:
         return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
                              "revenue_cents": pd.Series([], dtype="int64")})
-    rev = parts.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
-    rev = rev.sort_values(["revenue_cents", "l_orderkey"],
-                          ascending=[False, True]).head(10)
-    return rev.reset_index(drop=True)
+    return out.reset_index(drop=True)
 
 
 def q5_nation_revenue(sf_dir):
-    """Revenue per nation via customer->orders->lineitem joins (dimension
-    sides broadcast)."""
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    order_to_nation = orders.merge(
-        cust, left_on="o_custkey", right_on="c_custkey").merge(
-        nat, left_on="c_nationkey", right_on="n_nationkey")[
-        ["o_orderkey", "n_name"]]
-    lookup = dict(zip(order_to_nation["o_orderkey"],
-                      order_to_nation["n_name"]))
+    """Revenue per nation via customer->orders->lineitem joins.
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    Distributed plan (no fact table on the driver):
+      nation (25 rows) broadcast -> customer maps c_nationkey->n_nationkey
+      per batch (vectorized take);
+      orders JOIN customer on custkey = shuffle hash join;
+      lineitem per-block partial (l_orderkey, revenue, n_items)
+        JOIN orders-with-nation on l_orderkey = shuffle hash join;
+      per-batch partial groupby(n_nationkey) -> 25-row driver combine.
+    n_name attaches at the very end from the broadcast nation table."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nparts = _join_partitions(sf_dir)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nat = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey"]).join(
+        cust, join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",)).select_columns(
+        ["o_orderkey", "c_nationkey"])
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        df["n_name"] = df["l_orderkey"].map(lookup)
-        df = df.dropna(subset=["n_name"])
         df["revenue_cents"] = _cents(df["l_extendedprice"]
                                      * (1 - df["l_discount"]))
-        return df.groupby("n_name", as_index=False).agg(
+        return df.groupby("l_orderkey", as_index=False).agg(
             revenue_cents=("revenue_cents", "sum"),
             n_items=("l_orderkey", "size"))
 
-    parts = _read(sf_dir, "lineitem",
-                  ["l_orderkey", "l_extendedprice",
-                   "l_discount"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
-    return _final_combine(parts, ["n_name"], sums=["revenue_cents"],
-                          counts=["n_items"])
+    joined = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice",
+                    "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536).join(
+        orders_nat, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def nat_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("c_nationkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_items=("n_items", "sum"))
+
+    parts = joined.map_batches(
+        nat_partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = _final_combine(parts, ["c_nationkey"],
+                         sums=["revenue_cents", "n_items"])
+    out = out.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    return out[["n_name", "revenue_cents", "n_items"]] \
+        .sort_values("n_name").reset_index(drop=True)
 
 
 def part_brand_revenue(sf_dir):
@@ -202,19 +252,34 @@ def events_hourly(sf_dir):
 
 
 def events_user_stats(sf_dir):
-    """Distinct users + totals per event type (set-union partials)."""
+    """Distinct users + totals per event type.
+
+    Scale-safe distinct: per-block dedup of (event_type, user_id) with an
+    event count, a shuffle groupby on the pair (each distinct pair emerges
+    exactly once globally), then a per-batch partial count-distinct and a
+    tiny driver combine (one row per event type). Unbounded user
+    cardinality never flows to the driver."""
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        return df.groupby("event_type", as_index=False).agg(
-            users=("user_id", lambda s: sorted(set(s))),  # list: Arrow-safe
-            n_events=("event_id", "size"))
-    parts = _read(sf_dir, "events",
+        return df.groupby(["event_type", "user_id"], as_index=False).agg(
+            n=("event_id", "size"))
+
+    pairs = _read(sf_dir, "events",
                   ["event_id", "user_id", "event_type"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
-    out = parts.groupby("event_type", as_index=False).agg(
-        users=("users", lambda col: set().union(*[set(u) for u in col])),
-        n_events=("n_events", "sum"))
-    out["n_users"] = out["users"].map(len)
+        partial, batch_format="pyarrow", batch_size=65536).groupby(
+        ["event_type", "user_id"]).aggregate(
+        RaySum("n", alias_name="n"))
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"), n_events=("n", "sum"))
+
+    parts = pairs.map_batches(
+        count_partial, batch_format="pyarrow",
+        batch_size=65536).to_pandas()
+    out = _final_combine(parts, ["event_type"],
+                         sums=["n_users", "n_events"])
     return out[["event_type", "n_users", "n_events"]] \
         .sort_values("event_type").reset_index(drop=True)
 
@@ -249,16 +314,17 @@ ORACLE = {
     "q1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
-        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_base_cents, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
-        "AS BIGINT)) AS sum_disc_cents, COUNT(*) AS count_order "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+        "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"),
     "q3_top_orders": (
         "SELECT l_orderkey, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
-        "AS BIGINT)) AS revenue_cents "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -268,15 +334,16 @@ ORACLE = {
         "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"),
     "q5_nation_revenue": (
         "SELECT n_name, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
-        "AS BIGINT)) AS revenue_cents, COUNT(*) AS n_items "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items "
         "FROM nation JOIN customer ON c_nationkey = n_nationkey "
         "JOIN orders ON o_custkey = c_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY n_name"),
     "part_brand_revenue": (
         "SELECT p_brand, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
-        "AS BIGINT)) AS revenue_cents, COUNT(*) AS n_items FROM part "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items "
+        "FROM part "
         "JOIN lineitem ON l_partkey = p_partkey GROUP BY p_brand"),
     "order_priority_counts": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
@@ -284,7 +351,8 @@ ORACLE = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_value_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_value_cents "
         "FROM events GROUP BY hour, event_type"),
     "events_user_stats": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
