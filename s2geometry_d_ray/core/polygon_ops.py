@@ -1,0 +1,364 @@
+"""Boundary-constructing boolean operations on S2 polygons — an
+"S2Builder-lite" reimplementation of the semantics of
+``src/s2/s2polygon.d:766-905`` (initializeToIntersection / Union /
+Difference) and ``src/s2/s2boolean_operation.d:228-270``, built on the
+robust primitives this repo already has:
+
+  - crossing_sign            (core/predicates.py; s2edge_crossings.d:75)
+  - get_intersection         (core/edge_crossings.py; :352-419)
+  - parity point-in-polygon  (core/loop.py / core/polygon.py)
+
+Pipeline per operation (the classic crossing-clip construction):
+  1. orient every ring interior-on-left (shells CCW, holes CW),
+  2. find all A-edge x B-edge crossings (vectorized triage + robust
+     confirm) and compute robust intersection points,
+  3. split edges at crossings, snap-merging vertices within
+     SNAP_RADIUS (replacing S2Builder's snap rounding, adequate for
+     the merge radius INTERSECTION_MERGE_RADIUS guarantees),
+  4. classify each sub-edge by its midpoint against the other polygon
+     and keep/reverse per the operation's rule (shared boundary
+     sub-edges handled by directed-key matching),
+  5. assemble loops by walking the directed graph (leftmost-turn rule
+     at junction vertices), dropping degenerate slivers.
+
+Unlike the reference this does not build a full S2Builder Graph/Layer
+stack; it targets the reference test identities (A∪B ⊇ A, A∩B ⊆ A,
+area inclusion-exclusion) and the Bug1..Bug3 degenerate regressions.
+At dataset scale these ops run per-row inside map_batches (each row a
+small polygon pair), so the scalar assembly here is not a hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .edge_crossings import INTERSECTION_MERGE_RADIUS, get_intersection
+from .loop import Loop
+from .measures import loop_signed_area
+from .polygon import Polygon
+from .predicates import MAX_DET_ERROR, crossing_sign
+
+SNAP_RADIUS = max(1e-13, 4 * INTERSECTION_MERGE_RADIUS)
+
+
+class _SnapMap:
+    """Merges points within SNAP_RADIUS into canonical representatives
+    (grid-bucket hash, 27-neighborhood probe)."""
+
+    def __init__(self, radius=SNAP_RADIUS):
+        self.r = radius
+        self.cell = 2.0 * radius
+        self.buckets: dict[tuple, list[int]] = {}
+        self.points: list[np.ndarray] = []
+
+    def _key(self, p):
+        return (int(math.floor(p[0] / self.cell)),
+                int(math.floor(p[1] / self.cell)),
+                int(math.floor(p[2] / self.cell)))
+
+    def snap(self, p) -> int:
+        p = np.asarray(p, dtype=np.float64)
+        kx, ky, kz = self._key(p)
+        r2 = self.r * self.r
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                for dz in (0, -1, 1):
+                    for idx in self.buckets.get((kx + dx, ky + dy, kz + dz),
+                                                ()):
+                        d = self.points[idx] - p
+                        if float(d @ d) <= r2:
+                            return idx
+        idx = len(self.points)
+        self.points.append(p)
+        self.buckets.setdefault((kx, ky, kz), []).append(idx)
+        return idx
+
+
+def _oriented_rings(poly: Polygon):
+    """Rings as (n,3) arrays directed interior-on-left: shells (even
+    depth) CCW (signed area > 0), holes (odd depth) CW."""
+    rings = []
+    for lp in poly.loops:
+        v = lp.vertices
+        s = loop_signed_area(v)
+        want_ccw = (lp.depth % 2) == 0
+        if (s < 0) == want_ccw:
+            v = v[::-1]
+        rings.append(np.asarray(v, dtype=np.float64))
+    return rings
+
+
+def _edges_of(rings):
+    """Flat arrays (a0, a1) of directed ring edges."""
+    starts = []
+    ends = []
+    for v in rings:
+        starts.append(v)
+        ends.append(np.roll(v, -1, axis=0))
+    return np.concatenate(starts), np.concatenate(ends)
+
+
+def _crossing_pairs(a0, a1, b0, b1):
+    """Indices (i, j) of properly-crossing edge pairs: vectorized
+    4-sign triage prefilter, robust scalar confirmation."""
+    na = np.cross(a0, a1)                      # (nA,3)
+    nb = np.cross(b0, b1)                      # (nB,3)
+    s_b0 = na @ b0.T                           # (nA,nB) sign(a0,a1,b0)
+    s_b1 = na @ b1.T
+    s_a0 = (nb @ a0.T).T
+    s_a1 = (nb @ a1.T).T
+    e = MAX_DET_ERROR
+    # clearly no crossing: both endpoints of one edge strictly on the
+    # same side of the other edge's great circle
+    no = (((s_b0 > e) & (s_b1 > e)) | ((s_b0 < -e) & (s_b1 < -e))
+          | ((s_a0 > e) & (s_a1 > e)) | ((s_a0 < -e) & (s_a1 < -e)))
+    cand = np.nonzero(~no)
+    out = []
+    for i, j in zip(cand[0].tolist(), cand[1].tolist()):
+        if crossing_sign(tuple(a0[i]), tuple(a1[i]),
+                         tuple(b0[j]), tuple(b1[j])) > 0:
+            out.append((i, j))
+    return out
+
+
+def _split_edges(e0, e1, cross_pts, snap: _SnapMap):
+    """Subdivide each directed edge at its crossing points (ordered along
+    the edge); returns list of (u, v) snapped-vertex-id sub-edges with
+    degenerate (u == v) pieces dropped."""
+    sub = []
+    for k in range(len(e0)):
+        a, b = e0[k], e1[k]
+        pts = cross_pts.get(k, [])
+        if pts:
+            d = b - a
+            t = np.array([float((np.asarray(p) - a) @ d) for p in pts])
+            pts = [pts[i] for i in np.argsort(t, kind="stable")]
+        chain = [a] + list(pts) + [b]
+        ids = [snap.snap(p) for p in chain]
+        for u, v in zip(ids[:-1], ids[1:]):
+            if u != v:
+                sub.append((u, v))
+    return sub
+
+
+def _midpoint(p, q):
+    m = p + q
+    n = np.linalg.norm(m)
+    if n < 1e-300:
+        return p
+    return m / n
+
+
+def _classify(sub, snap, other: Polygon):
+    """For each sub-edge, True if its midpoint is inside `other`."""
+    if not sub:
+        return np.zeros(0, dtype=bool)
+    mids = np.stack([_midpoint(snap.points[u], snap.points[v])
+                     for u, v in sub])
+    return other.contains_points(mids)
+
+
+def _assemble(edges, snap):
+    """Walk directed sub-edges into closed rings (leftmost-turn at
+    junctions).  Unclosable chains (degenerate slivers) are dropped,
+    mirroring S2Builder's discard of sliver loops."""
+    out_map: dict[int, list[int]] = {}
+    for idx, (u, v) in enumerate(edges):
+        out_map.setdefault(u, []).append(idx)
+    used = [False] * len(edges)
+    rings = []
+    for start_idx in range(len(edges)):
+        if used[start_idx]:
+            continue
+        chain = [start_idx]
+        used[start_idx] = True
+        u0 = edges[start_idx][0]
+        cur = edges[start_idx][1]
+        prev = edges[start_idx][0]
+        ok = True
+        while cur != u0:
+            cands = [i for i in out_map.get(cur, []) if not used[i]]
+            # drop immediate backtracks unless forced
+            fwd = [i for i in cands if edges[i][1] != prev] or cands
+            if not fwd:
+                ok = False
+                break
+            if len(fwd) == 1:
+                nxt = fwd[0]
+            else:
+                # leftmost turn: maximize CCW turn angle from incoming
+                pin = snap.points[prev]
+                pc = snap.points[cur]
+                nrm = np.cross(pin, pc)
+
+                def turn(i):
+                    po = snap.points[edges[i][1]]
+                    s = float(nrm @ po)               # left(+) / right(-)
+                    c = float((po - pc) @ (pc - pin))
+                    return math.atan2(s, c)
+                nxt = max(fwd, key=turn)
+            used[nxt] = True
+            chain.append(nxt)
+            prev = cur
+            cur = edges[nxt][1]
+            if len(chain) > len(edges):
+                ok = False
+                break
+        if ok and len(chain) >= 3:
+            rings.append(np.stack([snap.points[edges[i][0]]
+                                   for i in chain]))
+    return rings
+
+
+def _rings_to_polygon(rings):
+    """Interior-on-left rings -> repo Polygon (parity containment makes
+    depth bookkeeping unnecessary; CW rings are holes by area sign)."""
+    loops = []
+    for v in rings:
+        if len(v) < 3:
+            continue
+        depth = 0 if loop_signed_area(v) >= 0 else 1
+        loops.append(Loop(v, depth=depth))
+    if not loops:
+        return None
+    return Polygon(loops)
+
+
+def _dedup_directed(sub):
+    """Collapse exact duplicate directed sub-edges, and remove
+    matched opposite-direction pairs (degenerate zero-width seams)."""
+    from collections import Counter
+    cnt = Counter(sub)
+    out = []
+    for (u, v), n in cnt.items():
+        n_op = cnt.get((v, u), 0)
+        keep = n - min(n, n_op)
+        if keep == 0 and n > 0 and n == n_op and (u < v):
+            pass  # fully cancelled seam
+        out.extend([(u, v)] * keep)
+    return out
+
+
+def boolean_op(op: str, a: Polygon, b: Polygon):
+    """op in {'union','intersection','difference'}; returns a Polygon or
+    None (empty result).  Semantics follow s2polygon.d:766-905."""
+    assert op in ("union", "intersection", "difference")
+    ra = _oriented_rings(a)
+    rb = _oriented_rings(b)
+    a0, a1 = _edges_of(ra)
+    b0, b1 = _edges_of(rb)
+    pairs = _crossing_pairs(a0, a1, b0, b1)
+
+    if not pairs:
+        # no proper crossings: decide by containment of representatives
+        a_in_b = b.contains_point(tuple(a0[0]))
+        b_in_a = a.contains_point(tuple(b0[0]))
+        if op == "union":
+            if a_in_b:
+                return b
+            if b_in_a:
+                return a
+            return Polygon(list(a.loops) + list(b.loops))
+        if op == "intersection":
+            if a_in_b:
+                return a
+            if b_in_a:
+                return b
+            return None
+        # difference
+        if a_in_b:
+            return None
+        if b_in_a:
+            # b's rings become holes of a (parity containment)
+            return Polygon(list(a.loops)
+                           + [Loop(v, depth=1) for v in rb])
+        return a
+
+    snap = _SnapMap()
+    cross_a: dict[int, list] = {}
+    cross_b: dict[int, list] = {}
+    for i, j in pairs:
+        x = get_intersection(a0[i], a1[i], b0[j], b1[j])
+        cross_a.setdefault(i, []).append(x)
+        cross_b.setdefault(j, []).append(x)
+    sub_a = _split_edges(a0, a1, cross_a, snap)
+    sub_b = _split_edges(b0, b1, cross_b, snap)
+
+    in_b = _classify(sub_a, snap, b)
+    in_a = _classify(sub_b, snap, a)
+
+    set_b = set(sub_b)
+    set_b_rev = set((v, u) for u, v in sub_b)
+    kept: list[tuple[int, int]] = []
+    if op == "union":
+        for e, inside in zip(sub_a, in_b):
+            if not inside or e in set_b:
+                kept.append(e)
+        set_a = set(sub_a)
+        for e, inside in zip(sub_b, in_a):
+            if not inside and e not in set_a:
+                kept.append(e)
+    elif op == "intersection":
+        for e, inside in zip(sub_a, in_b):
+            if inside or e in set_b:
+                kept.append(e)
+        set_a = set(sub_a)
+        for e, inside in zip(sub_b, in_a):
+            if inside and e not in set_a:
+                kept.append(e)
+    else:  # difference: A \ B
+        for e, inside in zip(sub_a, in_b):
+            if not inside and e not in set_b:
+                kept.append(e)
+            elif e in set_b_rev:
+                kept.append(e)
+        for (u, v), inside in zip(sub_b, in_a):
+            if inside and (v, u) not in set(sub_a):
+                kept.append((v, u))
+
+    kept = _dedup_directed(kept)
+    rings = _assemble(kept, snap)
+    result = _rings_to_polygon(rings)
+    if result is None and op != "intersection":
+        # Degenerate inputs (sliver loops below the snap radius — the
+        # reference Bug1..Bug3 class): no assemblable boundary survives.
+        # Union/difference of non-empty inputs must stay non-empty; fall
+        # back to the containment-based combination (exact for the
+        # sliver cases, where the crossings were all snap-artifacts).
+        a_in_b = b.contains_point(tuple(a0[0]))
+        b_in_a = a.contains_point(tuple(b0[0]))
+        if op == "union":
+            if a_in_b:
+                return b
+            if b_in_a:
+                return a
+            return Polygon(list(a.loops) + list(b.loops))
+        if a_in_b:  # difference
+            return None
+        return a
+    return result
+
+
+def boolean_union(a, b):
+    """s2polygon.d initializeToUnion."""
+    return boolean_op("union", a, b)
+
+
+def boolean_intersection(a, b):
+    """s2polygon.d initializeToIntersection."""
+    return boolean_op("intersection", a, b)
+
+
+def boolean_difference(a, b):
+    """s2polygon.d initializeToDifference."""
+    return boolean_op("difference", a, b)
+
+
+def polygon_area(poly) -> float:
+    """Steradian area of a parity polygon: sum of interior-on-left ring
+    signed areas."""
+    if poly is None:
+        return 0.0
+    return float(sum(loop_signed_area(v) for v in _oriented_rings(poly)))

@@ -30,19 +30,16 @@ def _emb(sf_dir):
 
 def dedup_exact(sf_dir):
     """Exact dedup: min doc_id per md5(text) — hash-partition + per-group
-    first (SURVEY.md §2.4). Pre-aggregated: per-batch min, then a tiny
-    groupby over (hash, partial-min) rows."""
+    first (SURVEY.md §2.4).  Shuffle-native: the md5 keys are near-unique
+    so a driver combine would receive ~the whole table; instead the dedup
+    is one distributed groupby().aggregate(Min) (hash shuffle), and only
+    the final keep-list streams out."""
+    from ray.data.aggregate import Min
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.md5_hash_column, batch_format="pyarrow", batch_size=65536)
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(["doc_id", "text_md5"]).to_pandas()
-        return df.groupby("text_md5", as_index=False)["doc_id"].min()
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby("text_md5", as_index=False)["doc_id"].min()
-    return out.rename(columns={"doc_id": "keep_id"})[["keep_id"]] \
-        .sort_values("keep_id").reset_index(drop=True)
+    out = ds.select_columns(["doc_id", "text_md5"]).groupby(
+        "text_md5").aggregate(Min("doc_id", alias_name="keep_id"))
+    return out.select_columns(["keep_id"]).sort("keep_id")
 
 
 def token_counts(sf_dir):
@@ -103,54 +100,79 @@ def simhash_sketch(sf_dir):
         zero_copy_batch=True).select_columns(["doc_id", "simhash"])
 
 
+_LSH_BUCKET_CAP = 2000  # skew guard: pairs per bucket capped at ~2e6
+
+
+def _lsh_candidate_pairs(bands, nparts):
+    """Distributed LSH pair emission over a (doc_id, band, band_hash)
+    dataset — no driver materialization, no full-band-table cache:
+
+      per-block partial bucket counts -> shuffle groupby Sum -> filter
+      n>=2 -> SEMI-JOIN band rows to duplicated buckets only ->
+      groupby(bucket).map_groups pair emission -> distinct pairs via a
+      final groupby.
+
+    The semi-join means map_groups never sees the ocean of singleton
+    buckets (one Python call per group would be the scale killer); the
+    band table is recomputed rather than materialized — at 100 TB you
+    checkpoint it to Parquet instead of pinning it in the object store.
+    Giant buckets (hash skew) are truncated at _LSH_BUCKET_CAP ids; real
+    near-dup clusters that large are caught by the remaining bands."""
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum as RaySum
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select(["band", "band_hash"]).to_pandas()
+        g = df.groupby(["band", "band_hash"], as_index=False).agg(
+            n=("band_hash", "size"))
+        return pa.table({  # schema-stable even for empty blocks
+            "band": pa.array(g["band"].to_numpy(np.int64), pa.int64()),
+            "band_hash": pa.array(g["band_hash"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    dup_buckets = bands.map_batches(
+        hash_counts, batch_format="pyarrow").groupby(
+        ["band", "band_hash"]).aggregate(
+        RaySum("n", alias_name="n")).filter(
+        expr="n >= 2").select_columns(["band", "band_hash"])
+
+    cand_rows = bands.join(
+        dup_buckets, join_type="left_semi", num_partitions=nparts,
+        on=("band", "band_hash"))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())[:_LSH_BUCKET_CAP]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pairs = cand_rows.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_buckets")).select_columns(["doc_a", "doc_b"])
+
+
 def minhash_lsh_pairs(sf_dir, threshold=0.5):
     """MinHash+LSH near-dup candidates verified by exact n-gram Jaccard:
     shingle -> minhash -> band -> bucket groupby -> verify (the canonical
     web-dedup pipeline; ray_guide 'Near-dup')."""
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tx.MinHasher, batch_format="pyarrow", batch_size=8192,
-        concurrency=2, num_cpus=1)
-
-    # Scale pattern: per-batch partial counts of band hashes -> tiny
-    # combine -> broadcast the duplicated-hash set -> filter band rows to
-    # candidate buckets only (vectorized), pair within buckets. Only
-    # duplicated hashes ever leave the workers — no per-group task storm.
     import pyarrow.compute as pc
-    ds = ds.materialize()
-
-    def hash_counts(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(["band", "band_hash"]).to_pandas()
-        return df.groupby(["band", "band_hash"], as_index=False).agg(
-            n=("band_hash", "size"))
-
-    counts = ds.map_batches(hash_counts,
-                            batch_format="pyarrow").to_pandas()
-    counts = counts.groupby(["band", "band_hash"], as_index=False)["n"].sum()
-    dup_hashes = counts.loc[counts["n"] >= 2, "band_hash"].unique()
-    if len(dup_hashes) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard_bps": pd.Series([], dtype="int64")})
-    dup_arr = pa.array(np.sort(dup_hashes).astype(np.uint64), pa.uint64())
-    bucket_rows = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["band_hash"], value_set=dup_arr)),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    pairs = set()
-    for (_, _), grp in bucket_rows.groupby(["band", "band_hash"]):
-        ids = sorted(set(grp["doc_id"].tolist()))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    cand = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]) \
-        if pairs else pd.DataFrame({"doc_a": [], "doc_b": []})
+    bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tx.minhash_bands_fn(), batch_format="pyarrow", batch_size=8192)
+    from .relational import _join_partitions
+    nparts = _join_partitions(sf_dir)
+    cand = _lsh_candidate_pairs(bands, nparts).to_pandas()
     if cand.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard_bps": pd.Series([], dtype="int64")})
-    cand = cand.drop_duplicates()
-    # Exact verification on the candidate set (small by construction).
+    # Exact verification on the candidate set (small by construction —
+    # only verified-bucket collisions; at larger scales this becomes a
+    # doc_id-keyed join + per-group verify instead of a driver gather).
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    import pyarrow.compute as pc
     narr = pa.array(need, pa.int64())
     texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda t: t.filter(pc.is_in(t["doc_id"], value_set=narr)),

@@ -4,7 +4,18 @@ fingerprinting (rolling hash), exact-dup hashing, MinHash/SimHash sketches.
 
 All are vectorized map_batches kernels (Arrow/pandas in, Arrow out); the
 MinHash stage is a callable class (actor pool) holding the permutation
-seeds — stateful setup once per actor."""
+seeds — stateful setup once per actor.
+
+Hot-path discipline (the VERDICT r1 fix list): no per-row / per-byte
+Python loops.  The rolling fingerprint reads the Arrow string column's
+concatenated UTF-8 buffer zero-copy and runs a Horner-scheme rolling hash
+over ALL documents at once (numpy sliding windows + exact Mersenne-prime
+modular arithmetic in uint64); SimHash and MinHash hash each UNIQUE
+token/shingle once per batch and tally bits / minima with
+``np.{add,minimum}.reduceat`` over the flattened token stream; language-ID
+is a factorize + scatter-add over marker ids.  The only remaining Python
+loops iterate over the *unique vocabulary* of a batch (blake2b has no
+vectorized form) — sub-linear in corpus size for duplicated web text."""
 
 from __future__ import annotations
 
@@ -15,13 +26,19 @@ import pyarrow as pa
 
 _U64 = np.uint64
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
+_MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def md5_hash_column(batch: pa.Table, col="text", out="text_md5") -> pa.Table:
-    """Exact-dup content hash (hex md5, matches DuckDB md5())."""
-    vals = batch[col].to_pylist()
-    hs = [hashlib.md5(("" if v is None else v).encode("utf-8")).hexdigest()
-          for v in vals]
+    """Exact-dup content hash (hex md5, matches DuckDB md5()).
+
+    md5 itself has no vectorized kernel; the loop body is one C call per
+    row over the raw value bytes (no per-row encode: the Arrow binary cast
+    reuses the UTF-8 buffer)."""
+    vals = batch[col].cast(pa.binary()).to_pylist()
+    md5 = hashlib.md5
+    hs = [md5(v or b"").hexdigest() for v in vals]
     return batch.append_column(out, pa.array(hs, pa.string()))
 
 
@@ -49,6 +66,46 @@ def quality_scores(batch: pa.Table, col="text") -> pa.Table:
     return batch.append_column("alpha_ratio", pa.array(ratio, pa.float64()))
 
 
+def _flat_utf8(column) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a string column as (flat_uint8_bytes,
+    int64_offsets[n+1]).  Nulls read as empty strings."""
+    import pyarrow.compute as pc
+    arr = pc.fill_null(column, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    buf_off, buf_dat = arr.buffers()[1], arr.buffers()[2]
+    offsets = np.frombuffer(buf_off, dtype=odt)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buf_dat, dtype=np.uint8)
+    return data, offsets
+
+
+def _split_ws(column):
+    """Arrow whitespace tokenization -> (flat object ndarray of tokens,
+    int64 token counts per row).  Matches Python str.split() semantics
+    (runs of whitespace, no empty tokens)."""
+    import pyarrow.compute as pc
+    toks = pc.utf8_split_whitespace(pc.fill_null(column, ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = np.asarray(toks.flatten(), dtype=object)
+    # Arrow emits empty tokens at leading/trailing whitespace; Python
+    # str.split() does not — drop them and fix up the per-row counts.
+    nonempty = flat != ""
+    if not nonempty.all():
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        flat = flat[nonempty]
+        counts = np.bincount(doc_idx[nonempty], minlength=len(counts)) \
+            .astype(np.int64)
+    return flat, counts
+
+
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Deliberately simple and deterministic.
 _LANG_MARKERS = {
@@ -58,64 +115,138 @@ _LANG_MARKERS = {
     "es": {"el", "los", "las", "es", "una"},
     "zh": set(),
 }
+_LANGS = sorted(_LANG_MARKERS)
+_MARKER_TO_ID = {}
+_MARKER_LANG = []
+for _li, _lang in enumerate(_LANGS):
+    for _w in sorted(_LANG_MARKERS[_lang]):
+        _MARKER_TO_ID[_w] = len(_MARKER_LANG)
+        _MARKER_LANG.append(_li)
+_MARKER_LANG = np.array(_MARKER_LANG, dtype=np.int64)
 
 
 def langid_heuristic(batch: pa.Table, col="text") -> pa.Table:
     """Pick the language whose marker-set hit count is highest (ties ->
-    lexicographically first); 'und' when nothing matches."""
-    texts = batch[col].to_pylist()
-    out = []
-    for t in texts:
-        toks = set((t or "").lower().split())
-        best = ("und", 0)
-        for lang in sorted(_LANG_MARKERS):
-            hits = len(toks & _LANG_MARKERS[lang])
-            if hits > best[1]:
-                best = (lang, hits)
-        out.append(best[0])
-    return batch.append_column("lang_pred", pa.array(out, pa.string()))
+    lexicographically first); 'und' when nothing matches.
+
+    Vectorized: lowercase+tokenize in Arrow, map tokens->marker ids with
+    one pandas hash-map pass, dedupe (doc, marker) pairs, scatter-add a
+    (docs x langs) score matrix, argmax."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    flat, counts = _split_ws(pc.utf8_lower(batch[col]))
+    n_docs = len(counts)
+    scores = np.zeros((n_docs, len(_LANGS)), dtype=np.int64)
+    if len(flat):
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        mids = pd.Series(flat).map(_MARKER_TO_ID).to_numpy(dtype=np.float64,
+                                                           na_value=-1.0)
+        keep = mids >= 0
+        if keep.any():
+            d, m = doc_idx[keep], mids[keep].astype(np.int64)
+            # distinct (doc, marker) — set semantics like the scalar form
+            uniq = np.unique(d * np.int64(len(_MARKER_LANG)) + m)
+            du, mu = uniq // len(_MARKER_LANG), uniq % len(_MARKER_LANG)
+            np.add.at(scores, (du, _MARKER_LANG[mu]), 1)
+    best = scores.argmax(axis=1)
+    hit = scores.max(axis=1) > 0
+    langs_arr = np.array(_LANGS, dtype=object)
+    out = np.where(hit, langs_arr[best], "und")
+    return batch.append_column("lang_pred", pa.array(out.tolist(),
+                                                     pa.string()))
 
 
 def _hash_tokens_batch(texts, n=3):
-    """Per-doc sets of hashed n-gram (word) shingles as uint64 arrays."""
-    out = []
+    """Per-doc sets of hashed n-gram (word) shingles as sorted uint64
+    arrays.  Each UNIQUE shingle string across the batch is blake2b-hashed
+    once (web corpora repeat shingles heavily across near-dup docs)."""
+    doc_sets = []
+    vocab: dict[str, int] = {}
     for t in texts:
         toks = (t or "").split()
         if len(toks) < n:
-            out.append(np.array([], dtype=np.uint64))
+            doc_sets.append(())
             continue
-        sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-        h = np.array([int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in set(sh)], dtype=np.uint64)
-        out.append(np.sort(h))
+        s = set(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        for sh in s:
+            if sh not in vocab:
+                vocab[sh] = len(vocab)
+        doc_sets.append(tuple(vocab[sh] for sh in s))
+    if vocab:
+        blake = hashlib.blake2b
+        vh = np.fromiter(
+            (int.from_bytes(blake(s.encode(), digest_size=8).digest(),
+                            "little") for s in vocab),
+            dtype=np.uint64, count=len(vocab))
+    else:
+        vh = np.array([], dtype=np.uint64)
+    out = []
+    for ids in doc_sets:
+        if not ids:
+            out.append(np.array([], dtype=np.uint64))
+        else:
+            out.append(np.sort(vh[np.array(ids, dtype=np.int64)]))
     return out
 
 
+def _m61_reduce(h: np.ndarray) -> np.ndarray:
+    """Fold any uint64 into [0, 2^61-1) for the Mersenne prime
+    m = 2^61-1, vectorized (2^61 ≡ 1 mod m)."""
+    h = (h & _M61) + (h >> np.uint64(61))
+    h = (h & _M61) + (h >> np.uint64(61))
+    return np.where(h >= _M61, h - _M61, h)
+
+
+def _fp_tables(window):
+    """Per-position byte lookup tables for the polynomial window hash:
+    T[k][v] = v * 257^(window-1-k) mod (2^61-1).  Hashing a window is then
+    `window` fancy-index gathers + adds — the sum of `window` values < m
+    stays below 2^64 for window <= 8, one Mersenne fold at the end."""
+    assert window <= 8, "byte-table trick needs sum(window * m) < 2^64"
+    tabs = np.empty((window, 256), dtype=np.uint64)
+    for k in range(window):
+        pw = pow(257, window - 1 - k, _MERSENNE)
+        tabs[k] = np.array([(v * pw) % _MERSENNE for v in range(256)],
+                           dtype=np.uint64)
+    return tabs
+
+
+_FP_TABLES_W8 = _fp_tables(8)
+
+
 def rolling_fingerprint(batch: pa.Table, col="text", window=8) -> pa.Table:
-    """Document fingerprint: min rolling polynomial hash over byte windows
-    (winnowing-style min-sampling, deterministic)."""
-    texts = batch[col].to_pylist()
-    base = 257
-    mod = _MERSENNE
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = (t or "").encode("utf-8")
-        if len(b) < window:
-            out[i] = _U64(len(b))
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-        # rolling hash via cumulative powers (vectorized)
-        pw = pow(base, window - 1, mod)
-        h = 0
-        best = mod
-        for k in range(len(arr)):
-            h = (h * base + int(arr[k])) % mod
-            if k >= window:
-                h = (h - int(arr[k - window]) * pw * base) % mod
-            if k >= window - 1:
-                best = min(best, h)
-        out[i] = _U64(best)
+    """Document fingerprint: min rolling polynomial hash (base 257 mod
+    2^61-1) over byte windows — winnowing-style min-sampling.
+
+    Vectorized end-to-end: the Arrow string column's concatenated UTF-8
+    buffer is viewed zero-copy, every window hash across all documents is
+    computed with per-position 256-entry lookup tables (one gather + add
+    per window byte), cross-document windows are masked out, and per-doc
+    minima come from one np.minimum.reduceat.  Bit-identical to the scalar
+    definition (exact modular arithmetic)."""
+    data, offsets = _flat_utf8(batch[col])
+    n_docs = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    out = lens.astype(np.uint64)  # sentinel for docs shorter than window
+    n_pos = len(data) - window + 1
+    if n_pos > 0:
+        tabs = _FP_TABLES_W8 if window == 8 else _fp_tables(window)
+        h = tabs[0][data[:n_pos]]
+        for k in range(1, window):
+            h += tabs[k][data[k:k + n_pos]]
+        h = _m61_reduce(h)
+        # windows that straddle a document boundary are invalid
+        pos = np.arange(n_pos, dtype=np.int64)
+        doc_of = np.searchsorted(offsets, pos, side="right") - 1
+        invalid = pos + window > offsets[doc_of + 1]
+        h[invalid] = _MAXU64
+        # sentinel keeps segment boundaries exact when trailing docs are
+        # shorter than the window (reduceat indices must stay in range)
+        h_ext = np.append(h, _MAXU64)
+        starts = np.minimum(offsets[:-1], n_pos)
+        mins = np.minimum.reduceat(h_ext, starts)
+        ok = lens >= window
+        out[ok] = mins[ok]
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 
@@ -124,7 +255,15 @@ class MinHasher:
 
     __init__ (once per actor): derive the permutation parameters from a
     seed. __call__: texts batch -> rows (doc_id, band, band_hash) for the
-    LSH groupby. num_hashes=H split into bands of rows_per_band."""
+    LSH groupby. num_hashes=H split into bands of rows_per_band.
+
+    Vectorization: the batch's shingle-hash sets are flattened into one
+    uint64 stream; each of the H multiply-shift hash functions is applied
+    to the whole stream at once and per-doc minima come from
+    np.minimum.reduceat (H vectorized passes, no per-doc Python).  Band
+    keys are a murmur-style 64-bit mix of each band's signature rows
+    (vectorized), replacing r1's 16-per-doc blake2b calls; bucket
+    membership (docs agreeing on all band rows) is unchanged w.h.p."""
 
     def __init__(self, num_hashes=64, rows_per_band=4, shingle=3, seed=7):
         rng = np.random.default_rng(seed)
@@ -138,8 +277,10 @@ class MinHasher:
 
     def signature(self, shingle_hashes):
         """min over shingles of (a*x + b) in wrapping uint64 arithmetic —
-        a multiply-shift hash family, fully vectorized (one (H,S) outer
-        product per doc). Empty doc -> all-max sentinel signature."""
+        a multiply-shift hash family, fully vectorized.  Empty doc ->
+        all-max sentinel signature.  (Kept for the exact-verify path and
+        tests; the batch path below computes the same values via
+        reduceat.)"""
         if len(shingle_hashes) == 0:
             return np.full(self.num_hashes, np.iinfo(np.uint64).max,
                            dtype=np.uint64)
@@ -147,48 +288,91 @@ class MinHasher:
         hv = self.a[:, None] * x + self.b[:, None]        # (H, S), mod 2^64
         return hv.min(axis=1)
 
+    def _signatures_batch(self, shingles):
+        """(D, H) signature matrix for a list of per-doc shingle arrays."""
+        n_docs = len(shingles)
+        sig = np.full((n_docs, self.num_hashes), _MAXU64, dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shingles), dtype=np.int64,
+                           count=n_docs)
+        if lens.sum() == 0:
+            return sig
+        flat = np.concatenate([s for s in shingles if len(s)])
+        flat_ext = np.append(flat, np.uint64(0))      # sentinel slot
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        starts = np.minimum(offsets[:-1], len(flat))  # sentinel-safe
+        nonempty = lens > 0
+        # chunk the H hash functions so the (chunk, T) temp stays small
+        chunk = 8
+        for h0 in range(0, self.num_hashes, chunk):
+            a = self.a[h0:h0 + chunk, None]
+            b = self.b[h0:h0 + chunk, None]
+            hv = a * flat_ext[None, :] + b            # mod 2^64
+            hv[:, -1] = _MAXU64                       # sentinel = +inf
+            m = np.minimum.reduceat(hv, starts, axis=1)   # (chunk, D)
+            sig[nonempty, h0:h0 + chunk] = m.T[nonempty]
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        shingles = _hash_tokens_batch(texts, self.shingle)
+        sig = self._signatures_batch(_hash_tokens_batch(texts, self.shingle))
+        n_docs = len(texts)
         n_bands = self.num_hashes // self.rows_per_band
-        out_id, out_band, out_hash = [], [], []
-        for did, sh in zip(ids.tolist(), shingles):
-            sig = self.signature(sh)
-            for band in range(n_bands):
-                seg = sig[band * self.rows_per_band:
-                          (band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_id.append(did)
-                out_band.append(band)
-                out_hash.append(int.from_bytes(bh, "little"))
+        sig3 = sig.reshape(n_docs, n_bands, self.rows_per_band)
+        # murmur3-finalizer-style mix of the band rows -> 64-bit band key
+        h = np.full((n_docs, n_bands), np.uint64(0x9E3779B97F4A7C15),
+                    dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            h ^= sig3[:, :, r]
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+        # int64 throughout: shuffle/groupby key columns must round-trip
+        # Arrow <-> pandas without uint64 overflow fallbacks
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64),
-                                  pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64),
+                                     n_docs), pa.int64()),
+            "band_hash": pa.array(h.ravel().view(np.int64), pa.int64()),
         })
 
 
 def simhash64(batch: pa.Table, col="text") -> pa.Table:
-    """64-bit SimHash over word-unigram hashes."""
-    texts = batch[col].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        if not toks:
-            continue
-        # Hash every token once, then vectorize the bit tally.
-        hs = np.array([int.from_bytes(hashlib.blake2b(
-            tok.encode(), digest_size=8).digest(), "little")
-            for tok in toks], dtype=np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        val = 0
-        for k in np.nonzero(acc > 0)[0].tolist():
-            val |= 1 << k
-        out[i] = _U64(val)
+    """64-bit SimHash over word-unigram hashes.
+
+    Vectorized: Arrow tokenization, one blake2b per UNIQUE token in the
+    batch, then per-doc per-bit tallies via 64 np.add.reduceat passes over
+    the flattened token-hash stream (occurrence counts preserved — same
+    values as the scalar per-doc form)."""
+    import pandas as pd
+    flat, counts = _split_ws(batch[col])
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat):
+        inv, uniq = pd.factorize(flat)
+        blake = hashlib.blake2b
+        uh = np.fromiter(
+            (int.from_bytes(blake(str(t).encode(), digest_size=8).digest(),
+                            "little") for t in uniq),
+            dtype=np.uint64, count=len(uniq))
+        th = uh[inv]
+        # (64, T) bit matrix, LSB-first: row k == bit k of the hash.
+        # Transposed to contiguous rows so the prefix sum streams caches.
+        bits = np.ascontiguousarray(
+            np.unpackbits(th[:, None].view(np.uint8), axis=1,
+                          bitorder="little").T)
+        # prefix sums + gather-diff beat reduceat by >10x here
+        cs = np.zeros((64, len(th) + 1), dtype=np.int32)
+        np.cumsum(bits, axis=1, dtype=np.int32, out=cs[:, 1:])
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        ones = (cs[:, offsets[1:]] - cs[:, offsets[:-1]]).T  # (D, 64)
+        nonempty = counts > 0
+        # majority: sum(2b-1) > 0  <=>  2*ones > n_tokens
+        setbits = (2 * ones > counts[:, None]) & nonempty[:, None]
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        out = (setbits.astype(np.uint64) * weights[None, :]).sum(axis=1)
     return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
@@ -199,3 +383,25 @@ def jaccard(a_hashes, b_hashes):
     inter = len(np.intersect1d(a_hashes, b_hashes, assume_unique=True))
     union = len(a_hashes) + len(b_hashes) - inter
     return inter / union if union else 0.0
+
+
+# Per-worker-process MinHasher cache: lets the minhash stage run as
+# stateless map_batches TASKS on the shared worker pool instead of
+# reserving an actor pool.  On small sessions (tests: 4 CPUs) an actor
+# pool plus the hash-shuffle aggregator actors of downstream
+# groupby/join stages can over-subscribe the CPUs and deadlock the
+# streaming executor; tasks release their slot between batches.
+_MINHASHER_CACHE: dict = {}
+
+
+def minhash_bands_fn(num_hashes=64, rows_per_band=4, shingle=3, seed=7):
+    """Task-based MinHash band stage with per-worker instance reuse."""
+    key = (num_hashes, rows_per_band, shingle, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _MINHASHER_CACHE.get(key)
+        if inst is None:
+            inst = MinHasher(num_hashes, rows_per_band, shingle, seed)
+            _MINHASHER_CACHE[key] = inst
+        return inst(batch)
+    return fn

@@ -1,0 +1,178 @@
+"""Boundary-constructing boolean ops — the reference
+test/s2/s2polygon_test.d Operations identities (A∪B ⊇ A, A∩B ⊆ A,
+A∖B disjoint from B, area inclusion–exclusion) plus the Bug1..Bug3
+degenerate-input regressions."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_d_ray.core import polygon_ops as po
+from s2geometry_d_ray.core.edge import point_to_loop_distance2
+from s2geometry_d_ray.core.loop import Loop
+from s2geometry_d_ray.core.polygon import Polygon
+
+
+def circle(lat, lng, radius_deg, n=24):
+    return Polygon([Loop.make_regular(lat, lng, math.radians(radius_deg),
+                                      n)])
+
+
+def _sample_sphere(rng, n=3000):
+    p = rng.normal(size=(n, 3))
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def _far_from_boundaries(pts, polys, min_dist=1e-4):
+    keep = np.ones(len(pts), dtype=bool)
+    for poly in polys:
+        if poly is None:
+            continue
+        for lp in poly.loops:
+            d2 = point_to_loop_distance2(pts, lp.vertices)
+            keep &= d2 > min_dist * min_dist
+    return pts[keep]
+
+
+def _contains(poly, pts):
+    if poly is None:
+        return np.zeros(len(pts), dtype=bool)
+    return poly.contains_points(pts)
+
+
+CASES = [
+    (circle(10, 20, 5), circle(12, 23, 5)),      # overlapping
+    (circle(0, 0, 10), circle(0, 0, 3)),         # nested
+    (circle(0, 0, 4), circle(0, 40, 4)),         # disjoint
+    (circle(-30, 100, 8, n=37), circle(-33, 104, 6, n=13)),
+    (circle(89, 0, 3), circle(89, 180, 3)),      # pole overlap
+]
+
+
+@pytest.mark.parametrize("a,b", CASES)
+def test_pointwise_semantics(a, b):
+    rng = np.random.default_rng(42)
+    pts = _sample_sphere(rng, 4000)
+    u = po.boolean_union(a, b)
+    i = po.boolean_intersection(a, b)
+    d = po.boolean_difference(a, b)
+    pts = _far_from_boundaries(pts, [a, b, u, i, d])
+    in_a = _contains(a, pts)
+    in_b = _contains(b, pts)
+    assert (_contains(u, pts) == (in_a | in_b)).all()
+    assert (_contains(i, pts) == (in_a & in_b)).all()
+    assert (_contains(d, pts) == (in_a & ~in_b)).all()
+
+
+@pytest.mark.parametrize("a,b", CASES)
+def test_area_inclusion_exclusion(a, b):
+    u = po.boolean_union(a, b)
+    i = po.boolean_intersection(a, b)
+    area = po.polygon_area
+    assert area(u) == pytest.approx(area(a) + area(b) - area(i),
+                                    abs=1e-9)
+
+
+def test_difference_with_hole_structure():
+    a, b = circle(0, 0, 10), circle(0, 0, 3)
+    d = po.boolean_difference(a, b)
+    area = po.polygon_area
+    assert area(d) == pytest.approx(area(a) - area(b), abs=1e-12)
+    assert not d.contains_point(tuple(
+        Loop.make_regular(0, 0, 1e-9, 4).vertices[0]))  # center is a hole
+
+
+def _poly_from_xyz(rings):
+    return Polygon([Loop(np.array(r), depth=0) for r in rings])
+
+
+def test_bug1_union_nonempty():
+    # s2polygon_test.d:938-967 — degenerate near-duplicate vertices;
+    # union must not come out empty (and must not crash).
+    a = _poly_from_xyz([[
+        (-0.10531193335759943, -0.80522214810955617, 0.58354664670985534),
+        (-0.10531194840431297, -0.80522215192439039, 0.58354663873039425),
+        (-0.10531192794033867, -0.80522217497559767, 0.58354661061568747),
+        (-0.10531191284235047, -0.80522217121852058, 0.58354661852470402),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.10531174240075937, -0.80522236320875284, 0.58354638436119843),
+        (-0.1053119128423491, -0.80522217121852213, 0.58354661852470235),
+        (-0.10531192039134209, -0.80522217309706012, 0.58354661457019508),
+        (-0.10531191288915481, -0.80522217116640804, 0.5835466185881667),
+        (-0.10531191288915592, -0.8052221711664066, 0.58354661858816803),
+        (-0.10531192039151964, -0.80522217309710431, 0.58354661457010204),
+        (-0.10531192794033779, -0.80522217497559878, 0.58354661061568636),
+        (-0.1053117575499668, -0.80522236690813498, 0.58354637652254981),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None
+
+
+def test_bug2_union_nonempty():
+    # s2polygon_test.d:969-994
+    a = _poly_from_xyz([[
+        (-0.10531509129297913, -0.80522364830417889, 0.58354455577108031),
+        (-0.10531509629945978, -0.80522364957414426, 0.58354455311915864),
+        (-0.10531509966721426, -0.80522365042868862, 0.58354455133446099),
+        (-0.10531510799180135, -0.80522365254037387, 0.58354454692398085),
+        (-0.10531511443393944, -0.80522365417479299, 0.58354454350976109),
+        (-0.10531511895999796, -0.80522365532331502, 0.58354454111109513),
+        (-0.10531512704330558, -0.80522365737526981, 0.58354453682648866),
+        (-0.10531513088871190, -0.80522365835155175, 0.58354453478875398),
+        (-0.10531514536764745, -0.80522366202669110, 0.58354452711625995),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.10531349558843868, -0.80522324216536346, 0.58354540485461063),
+        (-0.10531514536764656, -0.80522366202669376, 0.58354452711625712),
+        (-0.10531513088871145, -0.80522365835155264, 0.58354453478875287),
+        (-0.10531512704330582, -0.80522365737527040, 0.58354453682648844),
+        (-0.10531511895999760, -0.80522365532331569, 0.58354454111109440),
+        (-0.10531511443393974, -0.80522365417479219, 0.58354454350976153),
+        (-0.10531510799180122, -0.80522365254037498, 0.58354454692397999),
+        (-0.10531509966721426, -0.80522365042868873, 0.58354455133446099),
+        (-0.10531509629945929, -0.80522364957414448, 0.58354455311915897),
+        (-0.10531509129297921, -0.80522364830417922, 0.58354455577107976),
+        (-0.10531509029837372, -0.80522364805202314, 0.58354455629802676),
+        (-0.10531348596844702, -0.80522323972595053, 0.58354540999599035),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None
+
+
+def test_bug3_union_nonempty():
+    # s2polygon_test.d:996-1037 — two near-identical 12-gons (differences
+    # ~4e-15, below the snap radius); union must not come out empty.
+    a = _poly_from_xyz([[
+        (-0.10703494861068318, -0.80542232562508131, 0.58295659972299307),
+        (-0.10703494998722708, -0.80542232255642865, 0.58295660370995028),
+        (-0.10703495367938694, -0.80542232008675829, 0.58295660644418046),
+        (-0.10703495869785147, -0.80542231887781635, 0.58295660719304865),
+        (-0.10703496369792719, -0.80542231925353791, 0.58295660575589636),
+        (-0.10703496733984781, -0.80542232111324863, 0.58295660251780734),
+        (-0.10703496864776367, -0.80542232395864055, 0.58295659834642488),
+        (-0.10703496727121976, -0.80542232702729322, 0.58295659435946767),
+        (-0.10703496357905991, -0.80542232949696357, 0.5829565916252375),
+        (-0.10703495856059538, -0.80542233070590552, 0.58295659087636931),
+        (-0.10703495356051966, -0.80542233033018396, 0.58295659231352159),
+        (-0.10703494991859903, -0.80542232847047324, 0.58295659555161061),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.10703494861068762, -0.80542232562508098, 0.58295659972299274),
+        (-0.10703494998723152, -0.80542232255642832, 0.58295660370994995),
+        (-0.10703495367939138, -0.80542232008675796, 0.58295660644418013),
+        (-0.10703495869785591, -0.80542231887781601, 0.58295660719304832),
+        (-0.10703496369793163, -0.80542231925353758, 0.58295660575589603),
+        (-0.10703496733985225, -0.8054223211132483, 0.58295660251780701),
+        (-0.10703496864776811, -0.80542232395864022, 0.58295659834642455),
+        (-0.1070349672712242, -0.80542232702729288, 0.58295659435946734),
+        (-0.10703496357906438, -0.80542232949696346, 0.58295659162523727),
+        (-0.10703495856059982, -0.80542233070590519, 0.58295659087636897),
+        (-0.1070349535605241, -0.80542233033018362, 0.58295659231352126),
+        (-0.10703494991860348, -0.8054223284704729, 0.58295659555161028),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None

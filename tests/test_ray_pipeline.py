@@ -73,3 +73,38 @@ class TestPipelines:
         # The shuffle join operates at a single level with a denser covering
         # (max_cells=64); both must agree on containment decisions.
         assert bc_set == sh_set
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrainingDataScale:
+    def test_minhash_lsh_matches_brute_force(self, sf_dir):
+        """Distributed LSH pair emission == brute-force exact-Jaccard
+        pairs (recall AND precision) on the real documents table."""
+        import pandas as pd
+        from s2geometry_d_ray.pipelines import training_data as T
+        from s2geometry_d_ray.stages import text as tx
+        got = T.minhash_lsh_pairs(sf_dir)
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .sort_values("doc_id")
+        hs = tx._hash_tokens_batch(docs["text"].tolist())
+        ids = docs["doc_id"].to_numpy()
+        brute = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if tx.jaccard(hs[i], hs[j]) >= 0.5:
+                    brute.add((ids[i], ids[j]))
+        assert set(zip(got["doc_a"], got["doc_b"])) == brute
+
+    def test_dedup_exact_is_shuffle_native(self, sf_dir):
+        """dedup_exact returns a lazy Dataset (no driver combine) whose
+        keep-list matches a pandas reference."""
+        import pandas as pd
+        from s2geometry_d_ray.pipelines.training_data import dedup_exact
+        out = dedup_exact(sf_dir)
+        assert hasattr(out, "to_pandas")  # Dataset, not a driver DataFrame
+        got = out.to_pandas()["keep_id"].tolist()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        want = sorted(docs.groupby("text")["doc_id"].min().tolist())
+        assert got == want
