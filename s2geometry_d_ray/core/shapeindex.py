@@ -11,14 +11,23 @@ Correctness relies on two facts:
   - S2 cells are geodesically convex (intersection of 4 half-spaces), so
     the segment from the cell center to a point in the cell stays inside
     the cell; any edge it crosses is in the cell's (superset) bucket.
-  - The index level L is chosen so every edge is shorter than the minimum
-    cell width at L; such an edge can only touch cells within the 3x3
-    neighborhoods of its endpoints' cells, which is how buckets are built
+  - An edge indexed at level L is shorter than the minimum cell width at
+    L; such an edge can only touch cells within the 3x3 neighborhoods of
+    its endpoints' level-L cells, which is how buckets are built
     (conservative superset, then distance-pruned).
 
-Points whose level-L cell holds no edges fall back to the full-edge brute
-PIP (rare: only interior/exterior cells inside the boundary covering).
-Build cost is one vectorized full PIP over the bucket cell centers.
+LONG-EDGE RULE (mutable_s2shape_index.d:64-75): the anchor level is
+chosen from edge DENSITY alone; each edge is then bucketed at the finest
+level (<= anchor) whose min-width exceeds its own length.  One
+continent-length edge therefore lands in a handful of coarse cells
+instead of forcing the whole index coarse: a query unions the buckets of
+the point's ancestor cell at every populated level, so fine fractal
+detail keeps fine buckets regardless of outliers.
+
+Points whose anchor-level cell holds no fine edges but may see coarse
+edges get their parity base (anchor-center containment) computed lazily,
+batched per unique anchor cell.  Build cost is one vectorized full PIP
+over the bucket cell centers.
 """
 
 from __future__ import annotations
@@ -34,11 +43,13 @@ MAX_EDGES_PER_CELL = 10  # default of the reference (mutable_s2shape_index.d:43)
 
 
 class PolygonShapeIndex:
-    """Immutable edge-bucket index over all loops of one polygon."""
+    """Immutable multi-level edge-bucket index over all loops of one
+    polygon (long-edge rule: see module docstring)."""
 
-    __slots__ = ("polygon", "level", "cells", "offsets", "edge_ids",
-                 "centers", "contains_center", "edge_a", "edge_b",
-                 "edge_n", "n_edges")
+    __slots__ = ("polygon", "level", "levels", "cells_by_level",
+                 "offsets_by_level", "edge_ids_by_level", "cells",
+                 "offsets", "edge_ids", "centers", "contains_center",
+                 "edge_a", "edge_b", "edge_n", "n_edges")
 
     def __init__(self, polygon, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.polygon = polygon
@@ -53,80 +64,130 @@ class PolygonShapeIndex:
         self.edge_n = np.concatenate(n_list)
         self.n_edges = len(self.edge_a)
 
-        # Pick the index level: edges must be shorter than MIN_WIDTH(L)
-        # (superset guarantee) and we aim for ~max_edges_per_cell.
+        # Anchor level from edge DENSITY alone (long-edge rule: outlier
+        # edge lengths must not coarsen the whole index,
+        # mutable_s2shape_index.d:64-75).
         chord = np.linalg.norm(self.edge_a - self.edge_b, axis=1)
-        e_max = float(chord.max())
-        e_avg = float(chord.mean()) if self.n_edges else 1e-6
-        ang_max = 2 * np.arcsin(min(1.0, 0.5 * e_max))
-        ang_avg = 2 * np.arcsin(min(1.0, 0.5 * e_avg))
-        l_edge = MIN_WIDTH.get_level_for_min_value(ang_max * 1.001)
+        ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+        e_med = float(np.median(ang)) if self.n_edges else 1e-6
         l_density = MIN_WIDTH.get_level_for_max_value(
-            max(1e-12, max_edges_per_cell * ang_avg))
-        self.level = int(np.clip(min(l_edge, max(l_density, 4)), 4, 22))
+            max(1e-12, max_edges_per_cell * e_med))
+        self.level = int(np.clip(l_density, 4, 22))  # anchor level
 
-        # Bucket assembly: endpoint cells + 3x3 rings, distance-pruned.
-        la = ci.parent(ci.cellid_from_xyz(self.edge_a[:, 0],
-                                          self.edge_a[:, 1],
-                                          self.edge_a[:, 2]), self.level)
-        lb = ci.parent(ci.cellid_from_xyz(self.edge_b[:, 0],
-                                          self.edge_b[:, 1],
-                                          self.edge_b[:, 2]), self.level)
-        cand_cells: dict[int, set] = {}
-
-        ring_cache: dict[int, np.ndarray] = {}
-
-        def ring(cell):
-            r = ring_cache.get(int(cell))
-            if r is None:
-                r = ci.all_neighbors(np.uint64(cell), self.level)
-                ring_cache[int(cell)] = r
-            return r
-
+        # Per-edge level: finest level <= anchor whose min cell width
+        # exceeds the edge length (keeps the 3x3 superset guarantee).
+        edge_level = np.empty(self.n_edges, dtype=np.int64)
         for i in range(self.n_edges):
-            cells = {int(la[i]), int(lb[i])}
-            for c in (la[i], lb[i]):
-                cells.update(int(v) for v in ring(c))
-            for c in cells:
-                cand_cells.setdefault(c, set()).add(i)
+            le = MIN_WIDTH.get_level_for_min_value(float(ang[i]) * 1.001)
+            edge_level[i] = min(self.level, max(0, le))
 
-        # Distance prune: drop (cell, edge) pairs where the cell's cap is
-        # farther from the edge's midpoint cap than their radii allow.
         from .edge import edge_distances2
-        cells_sorted = np.array(sorted(cand_cells), dtype=np.uint64)
-        offsets = [0]
-        edge_ids = []
-        centers = np.empty((len(cells_sorted), 3))
-        for k, c in enumerate(cells_sorted.tolist()):
-            cell = Cell(c)
-            centers[k] = cell.center()
-            ids = np.array(sorted(cand_cells[c]), dtype=np.int64)
-            # prune: min distance from cell center to the edge must be
-            # within the cell's circumradius (cap radius) + slack.
-            cap = cell.cap_bound()
-            d2 = edge_distances2(centers[k][None, :],
-                                 self.edge_a[ids], self.edge_b[ids])[0]
-            keep = d2 <= cap.radius2 * 4.0 + 1e-12
-            ids = ids[keep]
-            edge_ids.append(ids)
-            offsets.append(offsets[-1] + len(ids))
-        nonempty = np.array([len(e) > 0 for e in edge_ids], dtype=bool)
-        self.cells = cells_sorted[nonempty]
-        self.centers = centers[nonempty]
-        self.edge_ids = np.concatenate([e for e, ok in
-                                        zip(edge_ids, nonempty) if ok]) \
-            if nonempty.any() else np.empty(0, dtype=np.int64)
-        offs = [0]
-        for e, ok in zip(edge_ids, nonempty):
-            if ok:
-                offs.append(offs[-1] + len(e))
-        self.offsets = np.array(offs, dtype=np.int64)
-        # Exact containment of every bucket-cell center (one vectorized
-        # full PIP — the InteriorTracker equivalent, done eagerly).
+        la_leaf = ci.cellid_from_xyz(self.edge_a[:, 0], self.edge_a[:, 1],
+                                     self.edge_a[:, 2])
+        lb_leaf = ci.cellid_from_xyz(self.edge_b[:, 0], self.edge_b[:, 1],
+                                     self.edge_b[:, 2])
+
+        self.levels = sorted(set(edge_level.tolist()))
+        self.cells_by_level = {}
+        self.offsets_by_level = {}
+        self.edge_ids_by_level = {}
+        anchor_cells = None
+        anchor_eids = None
+        anchor_offsets = None
+        for lvl in self.levels:
+            sel = np.nonzero(edge_level == lvl)[0]
+            la = ci.parent(la_leaf[sel], lvl)
+            lb = ci.parent(lb_leaf[sel], lvl)
+            cand_cells: dict[int, set] = {}
+            ring_cache: dict[int, np.ndarray] = {}
+
+            def ring(cell, lvl=lvl, ring_cache=ring_cache):
+                r = ring_cache.get(int(cell))
+                if r is None:
+                    r = ci.all_neighbors(np.uint64(cell), lvl)
+                    ring_cache[int(cell)] = r
+                return r
+
+            for k, i in enumerate(sel.tolist()):
+                cells = {int(la[k]), int(lb[k])}
+                if lvl == 0:
+                    # an edge can span beyond the 3x3 guarantee at the
+                    # face level; bucket it on every face (6 cells)
+                    cells.update((f << 61) | (1 << 60) for f in range(6))
+                else:
+                    for c in (la[k], lb[k]):
+                        cells.update(int(v) for v in ring(c))
+                for c in cells:
+                    cand_cells.setdefault(c, set()).add(i)
+
+            cells_sorted = np.array(sorted(cand_cells), dtype=np.uint64)
+            offsets = [0]
+            edge_ids = []
+            for c in cells_sorted.tolist():
+                cell = Cell(c)
+                ids = np.array(sorted(cand_cells[c]), dtype=np.int64)
+                # prune: min distance from cell center to the edge must
+                # be within the cell's circumradius (cap radius) + slack
+                cap = cell.cap_bound()
+                d2 = edge_distances2(np.asarray(cell.center())[None, :],
+                                     self.edge_a[ids],
+                                     self.edge_b[ids])[0]
+                ids = ids[d2 <= cap.radius2 * 4.0 + 1e-12]
+                edge_ids.append(ids)
+                offsets.append(offsets[-1] + len(ids))
+            keepc = np.array([len(e) > 0 for e in edge_ids], dtype=bool)
+            cells_k = cells_sorted[keepc]
+            eids_k = np.concatenate(
+                [e for e, ok in zip(edge_ids, keepc) if ok]) \
+                if keepc.any() else np.empty(0, dtype=np.int64)
+            offs = [0]
+            for e, ok in zip(edge_ids, keepc):
+                if ok:
+                    offs.append(offs[-1] + len(e))
+            self.cells_by_level[lvl] = cells_k
+            self.offsets_by_level[lvl] = np.array(offs, dtype=np.int64)
+            self.edge_ids_by_level[lvl] = eids_k
+            if lvl == self.level:
+                anchor_cells = cells_k
+                anchor_eids = eids_k
+                anchor_offsets = self.offsets_by_level[lvl]
+
+        # Anchor-level views (kept under the historical names: the
+        # crossing/knn queries consume .cells/.offsets/.edge_ids).
+        if anchor_cells is None:
+            anchor_cells = np.empty(0, dtype=np.uint64)
+            anchor_eids = np.empty(0, dtype=np.int64)
+            anchor_offsets = np.array([0], dtype=np.int64)
+        self.cells = anchor_cells
+        self.edge_ids = anchor_eids
+        self.offsets = anchor_offsets
         if len(self.cells):
+            self.centers = np.stack([Cell(int(c)).center()
+                                     for c in self.cells])
+            # Exact containment of every anchor bucket-cell center (one
+            # vectorized full PIP — the InteriorTracker equivalent).
             self.contains_center = polygon.contains_points(self.centers)
         else:
+            self.centers = np.empty((0, 3))
             self.contains_center = np.zeros(0, dtype=bool)
+
+    def _bucket_union(self, anchor_cell):
+        """Union of edge ids from every populated level's bucket of the
+        given anchor-level cell's ancestor chain."""
+        out = []
+        for lvl in self.levels:
+            cells = self.cells_by_level[lvl]
+            if not len(cells):
+                continue
+            c = ci.parent(np.uint64(anchor_cell), lvl) \
+                if lvl < self.level else np.uint64(anchor_cell)
+            k = int(np.searchsorted(cells, c))
+            if k < len(cells) and cells[k] == c:
+                offs = self.offsets_by_level[lvl]
+                out.append(self.edge_ids_by_level[lvl][offs[k]:offs[k + 1]])
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(out))
 
     # ------------------------------------------------------------------
     def contains_points(self, points, leaf_cells=None):
@@ -141,29 +202,35 @@ class PolygonShapeIndex:
         lcell = ci.parent(np.asarray(leaf_cells, dtype=np.uint64),
                           self.level)
         out = np.zeros(m, dtype=bool)
-        if len(self.cells) == 0:
-            return self.polygon.contains_points(pts)
-        pos = np.searchsorted(self.cells, lcell)
-        posc = np.minimum(pos, len(self.cells) - 1)
-        hit = self.cells[posc] == lcell
-        miss = ~hit
-        if miss.any():
-            out[miss] = self.polygon.contains_points(pts[miss])
-        if not hit.any():
-            return out
-        # Group hit points by bucket, vectorize per bucket.
-        hit_idx = np.nonzero(hit)[0]
-        order = np.argsort(posc[hit_idx], kind="stable")
-        hit_idx = hit_idx[order]
-        buckets = posc[hit_idx]
-        starts = np.nonzero(np.diff(buckets, prepend=-1))[0]
-        ends = np.append(starts[1:], len(buckets))
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            b = int(buckets[s])
-            rows = hit_idx[s:e]
-            eids = self.edge_ids[self.offsets[b]:self.offsets[b + 1]]
-            inside = self._parity(pts[rows], b, eids)
-            out[rows] = inside
+        # Group points by anchor cell.
+        order = np.argsort(lcell, kind="stable")
+        sc = lcell[order]
+        starts = np.nonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))[0]
+        ends = np.append(starts[1:], m)
+        uniq = sc[starts]
+        # Parity bases: precomputed for anchor bucket cells, lazily
+        # batch-computed for anchors only coarse (long) edges touch.
+        base = np.zeros(len(uniq), dtype=bool)
+        if len(self.cells):
+            pos = np.minimum(np.searchsorted(self.cells, uniq),
+                             len(self.cells) - 1)
+            known = self.cells[pos] == uniq
+            base[known] = self.contains_center[pos[known]]
+        else:
+            known = np.zeros(len(uniq), dtype=bool)
+        centers = np.empty((len(uniq), 3))
+        for k, c in enumerate(uniq.tolist()):
+            if known[k]:
+                centers[k] = self.centers[pos[k]]
+            else:
+                centers[k] = Cell(int(c)).center()
+        if (~known).any():
+            base[~known] = self.polygon.contains_points(centers[~known])
+        for k, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            rows = order[s:e]
+            eids = self._bucket_union(uniq[k])
+            out[rows] = self._parity(pts[rows], centers[k], bool(base[k]),
+                                     eids)
         return out
 
     def boundary_distance2(self, points, chunk=8192):
@@ -178,10 +245,8 @@ class PolygonShapeIndex:
                 pts[s:s + chunk], self.edge_a, self.edge_b).min(axis=1)
         return out
 
-    def _parity(self, p, bucket, eids):
-        """contains_center(bucket) XOR crossings((center -> p), edges)."""
-        c0 = self.centers[bucket]
-        base = self.contains_center[bucket]
+    def _parity(self, p, c0, base, eids):
+        """base (= contains(c0)) XOR crossings((c0 -> p), edges)."""
         if len(eids) == 0:
             return np.full(len(p), base, dtype=bool)
         A = self.edge_a[eids]

@@ -273,27 +273,53 @@ def geo_polyline_ops(sf_dir):
 
 def geo_boolean_union(sf_dir):
     """Boolean classification: pages-derived points vs the UNION of two
-    overlapping polygons, exact PIP semantics (rows-only; identities
-    tested in tests/test_booleans.py)."""
-    import pandas as pd
-    from ..core import booleans as bo
+    overlapping polygons — classified against the CONSTRUCTED union
+    boundary polygon (core/polygon_ops.boolean_union, the S2Builder-lite
+    path), whose pointwise equivalence with the query form is the pytest
+    oracle (tests/test_polygon_ops.py).  Rows-only driver check."""
     from ..core import coords
     from ..core.loop import Loop
     from ..core.polygon import Polygon
+    from ..core.polygon_ops import boolean_union
     a = Polygon([Loop.make_regular(10.0, 20.0, 5.0e-2, 64)])
     b = Polygon([Loop.make_regular(10.0, 23.0, 5.0e-2, 64)])
+    u = boolean_union(a, b)
 
     def classify(batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         x, y, z = coords.latlng_to_xyz(lat, lon)
         pts = np.stack([x, y, z], axis=1)
-        res = bo.contains_points_bool(bo.UNION, a, b, pts)
+        res = u.contains_points(pts)
         keep = batch.filter(pa.array(res))
         return pa.table({"doc_id": keep["doc_id"]})
 
     return geo_points(sf_dir).map_batches(classify, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def geo_union_boundary(sf_dir):
+    """The union polygon's constructed boundary itself: one row per
+    vertex of each assembled ring (ring index, vertex index, lat, lon
+    micro-degree-rounded for determinism).  Exercises the boundary
+    OUTPUT of the boolean machinery end-to-end (rows-only)."""
+    import pandas as pd
+    from ..core import coords
+    from ..core.loop import Loop
+    from ..core.polygon import Polygon
+    from ..core.polygon_ops import boolean_union
+    a = Polygon([Loop.make_regular(10.0, 20.0, 5.0e-2, 64)])
+    b = Polygon([Loop.make_regular(10.0, 23.0, 5.0e-2, 64)])
+    u = boolean_union(a, b)
+    rows = []
+    for ri, lp in enumerate(u.loops):
+        lat, lon = coords.xyz_to_latlng(lp.vertices[:, 0],
+                                        lp.vertices[:, 1],
+                                        lp.vertices[:, 2])
+        for vi in range(len(lp.vertices)):
+            rows.append((ri, vi, round(float(lat[vi]), 6),
+                         round(float(lon[vi]), 6)))
+    return pd.DataFrame(rows, columns=["ring", "vertex", "lat", "lon"])
 
 
 def geo_snap_e6(sf_dir):
@@ -387,6 +413,7 @@ QUERIES = {
     "geo_covering_tokens": geo_covering_tokens,
     "geo_polyline_ops": geo_polyline_ops,
     "geo_boolean_union": geo_boolean_union,
+    "geo_union_boundary": geo_union_boundary,
     "geo_snap_e6": geo_snap_e6,
     "geo_simplify": geo_simplify,
     "geo_radius_join": geo_radius_join,

@@ -211,3 +211,61 @@ def test_cell_distance_to_point():
     from s2geometry_d_ray.core.edge import chord2_to_radians
     # ~10 deg minus the cell half-width (level 8 ~ 0.35 deg half)
     assert 0.1 < np.degrees(chord2_to_radians(d2)) < 10.0
+
+
+class TestLongEdgeRule:
+    """mutable_s2shape_index.d:64-75: long edges must not coarsen the
+    index; a polygon mixing one continent-length edge with dense
+    fractal detail keeps fine buckets and exact PIP."""
+
+    def _mixed_polygon(self):
+        import numpy as np
+        from s2geometry_d_ray.core.loop import Loop
+        from s2geometry_d_ray.core.polygon import Polygon
+        rng = np.random.default_rng(3)
+        # dense jagged detail: ~300 vertices over ~0.5 deg of longitude
+        n = 300
+        lons = np.linspace(10.0, 10.5, n)
+        lats = 45.0 + 0.02 * rng.standard_normal(n).cumsum() / 10.0
+        # close with ONE continent-length edge via a far-away vertex
+        lats = np.append(lats, 20.0)
+        lons = np.append(lons, -60.0)
+        return Polygon([Loop.from_latlng_degrees(lats, lons)])
+
+    def test_fine_anchor_level_and_bounded_buckets(self):
+        import numpy as np
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        poly = self._mixed_polygon()
+        idx = PolygonShapeIndex(poly)
+        # Without the long-edge rule the single giant edge forces
+        # level 4; with it, the anchor level tracks the MEDIAN edge.
+        assert idx.level >= 10
+        # Fine-level buckets stay small: the long edge lives at a
+        # coarse level, not in every fine cell.
+        anchor_sizes = np.diff(idx.offsets)
+        assert len(anchor_sizes)
+        assert anchor_sizes.max() <= 64
+        # The long edge landed at a coarse level.
+        assert min(idx.levels) < idx.level
+
+    def test_indexed_equals_brute(self):
+        import numpy as np
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        poly = self._mixed_polygon()
+        idx = PolygonShapeIndex(poly)
+        rng = np.random.default_rng(4)
+        # Mix of points near the detail, near the long edge, and global.
+        pts = []
+        for lat0, lon0, scale, n in [(45, 10.2, 0.5, 400),
+                                     (33, -25, 30.0, 400),
+                                     (0, 0, 180.0, 400)]:
+            lats = lat0 + scale * rng.uniform(-1, 1, n)
+            lons = lon0 + scale * rng.uniform(-1, 1, n)
+            from s2geometry_d_ray.core import coords
+            x, y, z = coords.latlng_to_xyz(np.clip(lats, -89.9, 89.9),
+                                           lons)
+            pts.append(np.stack([x, y, z], axis=1))
+        pts = np.concatenate(pts)
+        got = idx.contains_points(pts)
+        want = poly.contains_points(pts)
+        assert (got == want).all()
