@@ -49,7 +49,8 @@ class PolygonShapeIndex:
     __slots__ = ("polygon", "level", "levels", "cells_by_level",
                  "offsets_by_level", "edge_ids_by_level", "cells",
                  "offsets", "edge_ids", "centers", "contains_center",
-                 "edge_a", "edge_b", "edge_n", "n_edges")
+                 "edge_a", "edge_b", "edge_n", "n_edges",
+                 "_last_edges_evaluated")
 
     def __init__(self, polygon, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.polygon = polygon
@@ -233,10 +234,10 @@ class PolygonShapeIndex:
                                      eids)
         return out
 
-    def boundary_distance2(self, points, chunk=8192):
+    def boundary_distance2_brute(self, points, chunk=8192):
         """Min squared chord distance from each point to the polygon
-        boundary (the S2ClosestEdgeQuery capability, brute-vectorized
-        over all edges in chunks to bound temporaries)."""
+        boundary, brute-vectorized over all edges (conformance baseline
+        and the fast path for small polygons)."""
         from .edge import edge_distances2
         pts = np.asarray(points, dtype=np.float64)
         out = np.empty(len(pts))
@@ -244,6 +245,99 @@ class PolygonShapeIndex:
             out[s:s + chunk] = edge_distances2(
                 pts[s:s + chunk], self.edge_a, self.edge_b).min(axis=1)
         return out
+
+    # Below this edge count brute force wins (reference
+    # s2closest_edge_query.d MAX_BRUTE_FORCE_INDEX_SIZE ballpark).
+    MAX_BRUTE_FORCE_EDGES = 96
+
+    def boundary_distance2(self, points, chunk=8192):
+        """Min squared chord distance from each point to the polygon
+        boundary — best-first search over the implicit cell tree above
+        the per-level bucket arrays (the S2ClosestEdgeQuery algorithm,
+        s2closest_edge_query_base.d:380-750): subtrees whose cells are
+        farther than the current best are pruned, giving query time
+        sublinear in edge count."""
+        pts = np.asarray(points, dtype=np.float64)
+        if self.n_edges <= self.MAX_BRUTE_FORCE_EDGES or not self.levels:
+            return self.boundary_distance2_brute(pts, chunk)
+        out = np.empty(len(pts))
+        for i in range(len(pts)):
+            out[i] = self._closest_edge_one(pts[i])[0]
+        return out
+
+    def closest_edge(self, p):
+        """(distance2, edge_id) of the boundary edge closest to p."""
+        if self.n_edges <= self.MAX_BRUTE_FORCE_EDGES or not self.levels:
+            from .edge import edge_distances2
+            d2 = edge_distances2(np.asarray(p, dtype=np.float64)[None, :],
+                                 self.edge_a, self.edge_b)[0]
+            k = int(d2.argmin())
+            return float(d2[k]), k
+        return self._closest_edge_one(np.asarray(p, dtype=np.float64))
+
+    def _subtree_has_cells(self, node, node_level):
+        """Any bucket cell (at any level > node_level) inside node?"""
+        lo = ci.range_min(np.uint64(node))
+        hi = ci.range_max(np.uint64(node))
+        for lvl in self.levels:
+            if lvl <= node_level:
+                continue
+            cells = self.cells_by_level[lvl]
+            if not len(cells):
+                continue
+            s = int(np.searchsorted(cells, lo))
+            if s < len(cells) and cells[s] <= hi:
+                return True
+        return False
+
+    def _closest_edge_one(self, p):
+        """Best-first traversal for one query point; returns
+        (best_d2, best_edge_id).  Stats: self._last_edges_evaluated."""
+        import heapq
+        from .edge import edge_distances2
+        best = np.inf
+        best_id = -1
+        evaluated = 0
+        heap = []
+        for f in range(6):
+            face = np.uint64((f << 61) | (1 << 60))
+            cell = Cell(int(face))
+            heapq.heappush(heap, (float(cell.distance2_to_point(p)), 0,
+                                  int(face)))
+        slack = 1e-12  # last-ulp ties: don't prune an equal-distance edge
+        while heap:
+            d2, lvl, node = heapq.heappop(heap)
+            if d2 > best * (1 + slack):
+                break
+            # evaluate this node's own bucket (if it is one at level lvl)
+            if lvl in self.cells_by_level:
+                cells = self.cells_by_level[lvl]
+                if len(cells):
+                    k = int(np.searchsorted(cells, np.uint64(node)))
+                    if k < len(cells) and cells[k] == np.uint64(node):
+                        offs = self.offsets_by_level[lvl]
+                        eids = self.edge_ids_by_level[lvl][
+                            offs[k]:offs[k + 1]]
+                        if len(eids):
+                            ed2 = edge_distances2(
+                                p[None, :], self.edge_a[eids],
+                                self.edge_b[eids])[0]
+                            evaluated += len(eids)
+                            j = int(ed2.argmin())
+                            if float(ed2[j]) < best:
+                                best = float(ed2[j])
+                                best_id = int(eids[j])
+            # descend
+            if lvl < self.level and self._subtree_has_cells(node, lvl):
+                kids = [int(ci.child(np.uint64(node), k))
+                        for k in range(4)]
+                for child in kids:
+                    cc = Cell(int(child))
+                    cd2 = float(cc.distance2_to_point(p))
+                    if cd2 <= best * (1 + slack):
+                        heapq.heappush(heap, (cd2, lvl + 1, int(child)))
+        self._last_edges_evaluated = evaluated
+        return best, best_id
 
     def _parity(self, p, c0, base, eids):
         """base (= contains(c0)) XOR crossings((c0 -> p), edges)."""

@@ -206,3 +206,46 @@ def test_polygon_boundary_distance():
     d2 = idx.boundary_distance2(np.stack([center, outside]))
     assert abs(chord2_to_radians(d2[0]) - 0.01) < 1e-5
     assert abs(chord2_to_radians(d2[1]) - (math.radians(2.0) - 0.01)) < 1e-4
+
+
+class TestBestFirstClosestEdge:
+    """s2closest_edge_query_base.d:380-750: best-first over the index
+    must equal brute force and evaluate far fewer edges."""
+
+    def _big_polygon(self, n=4000):
+        import numpy as np
+        from s2geometry_d_ray.core.loop import Loop
+        from s2geometry_d_ray.core.polygon import Polygon
+        import math
+        return Polygon([Loop.make_regular(37.0, -15.0, math.radians(20.0),
+                                          n)])
+
+    def test_matches_brute(self):
+        import numpy as np
+        from s2geometry_d_ray.core import coords
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        idx = PolygonShapeIndex(self._big_polygon())
+        assert idx.n_edges > idx.MAX_BRUTE_FORCE_EDGES
+        rng = np.random.default_rng(11)
+        lats = 37.0 + 45.0 * rng.uniform(-1, 1, 200)
+        lons = -15.0 + 60.0 * rng.uniform(-1, 1, 200)
+        x, y, z = coords.latlng_to_xyz(np.clip(lats, -89.9, 89.9), lons)
+        pts = np.stack([x, y, z], axis=1)
+        fast = idx.boundary_distance2(pts)
+        brute = idx.boundary_distance2_brute(pts)
+        assert np.allclose(fast, brute, rtol=1e-12, atol=0)
+
+    def test_sublinear_edge_evaluations(self):
+        import numpy as np
+        from s2geometry_d_ray.core import coords
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        idx = PolygonShapeIndex(self._big_polygon())
+        # near-boundary query: tight pruning, tiny candidate annulus
+        x, y, z = coords.latlng_to_xyz(56.0, -15.0)
+        d2, eid = idx.closest_edge(np.array([x, y, z]))
+        assert 0 <= eid < idx.n_edges
+        assert idx._last_edges_evaluated < idx.n_edges / 10
+        # far interior query: many near-ties, still strictly sublinear
+        x, y, z = coords.latlng_to_xyz(40.0, -10.0)
+        idx.closest_edge(np.array([x, y, z]))
+        assert idx._last_edges_evaluated < idx.n_edges / 2
