@@ -252,7 +252,8 @@ def cellid_from_latlng(lat_deg, lon_deg):
 
 def lsb(cell_id):
     cid = np.asarray(cell_id, dtype=np.uint64)
-    return cid & (~cid + _ONE)
+    with np.errstate(over="ignore"):  # ~0 + 1 wraps (cid == 0 sentinel)
+        return cid & (~cid + _ONE)
 
 
 def lsb_for_level(level):
@@ -589,3 +590,38 @@ def vertex_neighbors(cell_id, lvl):
         leaf = _from_face_ij_same_scalar(face, ii, jj, same)
         out.append(parent_scalar(leaf, lvl))
     return np.array(out, dtype=np.uint64)
+
+
+def from_debug_string(s):
+    """Parse the reference debug format "face/child-positions"
+    (s2cell_id.d fromDebugString): "1/" -> face cell 1, "1/23" ->
+    grandchild 3 of child 2.  Returns 0 (the invalid sentinel) on
+    malformed input."""
+    if not isinstance(s, str) or len(s) < 2 or s[1] != "/":
+        return np.uint64(0)
+    if s[0] not in "012345":
+        return np.uint64(0)
+    cid = np.uint64((int(s[0]) << 61) | (1 << 60))
+    for ch in s[2:]:
+        if ch not in "0123":
+            return np.uint64(0)
+        cid = child(cid, int(ch))
+    return np.uint64(cid)
+
+
+def to_debug_string(cell_id):
+    """Inverse of from_debug_string."""
+    cid = int(cell_id)
+    if not bool(is_valid(np.uint64(cid))):
+        return "Invalid: %x" % cid
+    lvl = level_scalar(cid)
+    face = cid >> 61
+    out = [str(face), "/"]
+    for lv in range(1, lvl + 1):
+        p = int(parent_scalar(cid, lv))
+        pp = int(parent_scalar(cid, lv - 1))
+        for k in range(4):
+            if int(child_scalar(pp, k)) == p:
+                out.append(str(k))
+                break
+    return "".join(out)

@@ -227,3 +227,167 @@ class RegionCoverer:
         if o.min_level > 0 or o.level_mod > 1:
             ids = cu.denormalize(ids, o.min_level, o.level_mod)
         return ids
+
+
+class CellUnionRegion:
+    """Region adapter over a normalized cell-id array so a covering can
+    itself be re-covered (s2region_coverer.d:465-468 getCovering over an
+    S2CellUnion; used by canonicalizeCovering's large-excess path)."""
+
+    def __init__(self, ids):
+        self.ids = np.asarray(ids, dtype=np.uint64)
+
+    def may_intersect_cell(self, cell):
+        return bool(cu.intersects_ids(self.ids,
+                                      np.uint64([cell.id]))[0])
+
+    def contains_cell(self, cell):
+        return bool(cu.contains_ids(self.ids, np.uint64([cell.id]))[0])
+
+    def get_cap_bound(self):
+        if not len(self.ids):
+            return Cap.empty()
+        centers = np.stack([Cell(int(c)).center() for c in self.ids])
+        m = centers.mean(axis=0)
+        m = m / np.linalg.norm(m)
+        d = 1.0 - centers @ m
+        ang = float(np.arccos(np.clip(1.0 - d.max(), -1, 1)))
+        # pad by the max cell circumradius
+        pad = max(Cell(int(c)).cap_bound().radius_radians()
+                  for c in self.ids.tolist())
+        return Cap.from_center_angle(tuple(m), ang + pad + 1e-12)
+
+
+def _is_canonical(options: CovererOptions, covering) -> bool:
+    """s2region_coverer.d:364-414 isCanonical."""
+    ids = [int(c) for c in covering]
+    min_level = options.min_level
+    max_level = options.true_max_level()
+    level_mod = options.level_mod
+    too_many = len(ids) > options.max_cells
+    same_parent_count = 1
+    prev = None
+    for cid in ids:
+        if not ci.is_valid(np.uint64(cid)):
+            return False
+        level = ci.level_scalar(cid)
+        if level < min_level or level > max_level:
+            return False
+        if level_mod > 1 and (level - min_level) % level_mod != 0:
+            return False
+        if prev is not None:
+            if int(ci.range_max(np.uint64(prev))) >= \
+                    int(ci.range_min(np.uint64(cid))):
+                return False
+            if too_many and ci.common_ancestor_level(
+                    np.uint64(prev), np.uint64(cid)) >= min_level:
+                return False
+            plevel = level - level_mod
+            if (plevel < min_level or level != ci.level_scalar(prev)
+                    or int(ci.parent_scalar(cid, plevel))
+                    != int(ci.parent_scalar(prev, plevel))):
+                same_parent_count = 1
+            else:
+                same_parent_count += 1
+                if same_parent_count == (1 << (2 * level_mod)):
+                    return False
+        prev = cid
+    return True
+
+
+def _replace_cells_with_ancestor(ids, ancestor):
+    """Drop every cell contained by `ancestor`, insert `ancestor`
+    (s2region_coverer.d replaceCellsWithAncestor)."""
+    lo = int(ci.range_min(np.uint64(ancestor)))
+    hi = int(ci.range_max(np.uint64(ancestor)))
+    out = [c for c in ids if not (lo <= int(ci.range_min(np.uint64(c)))
+                                  and int(ci.range_max(np.uint64(c)))
+                                  <= hi)]
+    out.append(int(ancestor))
+    out.sort()
+    return out
+
+
+def _contains_all_children(ids, parent, level_mod):
+    """All (4 ** level_mod) descendants of `parent` at the next
+    level-mod step are present."""
+    child_level = ci.level_scalar(int(parent)) + level_mod
+    ids_set = set(ids)
+    c = int(ci.child_begin(np.uint64(parent), child_level))
+    end = int(ci.child_end(np.uint64(parent), child_level))
+    while c != end:
+        if c not in ids_set:
+            return False
+        c = int(ci.next_id(np.uint64(c)))
+    return True
+
+
+def is_canonical(covering, max_cells=8, min_level=0,
+                 max_level=ci.MAX_LEVEL, level_mod=1):
+    """Module-level convenience: does `covering` conform to the given
+    coverer options? (s2region_coverer.d:364-414)."""
+    return _is_canonical(CovererOptions(max_cells, min_level, max_level,
+                                        level_mod), covering)
+
+
+def canonicalize_covering(covering, max_cells=8, min_level=0,
+                          max_level=ci.MAX_LEVEL, level_mod=1):
+    """Repair an arbitrary cell-id list (unsorted / overlapping / wrong
+    levels) into a canonical covering (s2region_coverer.d:421-497).
+    Returns a sorted uint64 array satisfying is_canonical()."""
+    opts = CovererOptions(max_cells, min_level, max_level, level_mod)
+    ids = [int(c) for c in covering]
+
+    # Replace too-deep / level_mod-violating cells with ancestors.
+    if opts.max_level < ci.MAX_LEVEL or opts.level_mod > 1:
+        adj = []
+        for cid in ids:
+            level = ci.level_scalar(cid)
+            new_level = min(level, opts.max_level)
+            new_level -= (new_level - opts.min_level) % opts.level_mod \
+                if new_level >= opts.min_level else 0
+            if new_level < level:
+                cid = int(ci.parent_scalar(cid, max(new_level,
+                                                    opts.min_level)))
+            adj.append(cid)
+        ids = adj
+
+    ids = [int(c) for c in cu.normalize(np.array(sorted(ids),
+                                                 dtype=np.uint64))]
+    if opts.min_level > 0 or opts.level_mod > 1:
+        ids = [int(c) for c in cu.denormalize(
+            np.array(ids, dtype=np.uint64), opts.min_level,
+            opts.level_mod)]
+
+    excess = len(ids) - opts.max_cells
+    if excess <= 0 or _is_canonical(opts, ids):
+        return np.array(ids, dtype=np.uint64)
+
+    if excess * len(ids) > 10000:
+        coverer = RegionCoverer(max_cells=max_cells, min_level=min_level,
+                                max_level=max_level, level_mod=level_mod)
+        return coverer.get_covering(
+            CellUnionRegion(np.array(ids, dtype=np.uint64)))
+
+    while len(ids) > opts.max_cells:
+        best_index, best_level = -1, -1
+        for i in range(len(ids) - 1):
+            level = ci.common_ancestor_level(np.uint64(ids[i]),
+                                             np.uint64(ids[i + 1]))
+            if level < 0:
+                continue
+            level -= (level - opts.min_level) % opts.level_mod \
+                if level >= opts.min_level else 0
+            if level > best_level:
+                best_level, best_index = level, i
+        if best_level < opts.min_level or best_index < 0:
+            break
+        anc = int(ci.parent_scalar(ids[best_index], best_level))
+        ids = _replace_cells_with_ancestor(ids, anc)
+        while best_level > opts.min_level:
+            best_level -= opts.level_mod
+            anc = int(ci.parent_scalar(anc, best_level))
+            if not _contains_all_children(ids, anc, opts.level_mod):
+                break
+            ids = _replace_cells_with_ancestor(ids, anc)
+    return np.array(ids, dtype=np.uint64)
