@@ -1,0 +1,171 @@
+"""Exact distance predicates — ported from the reference
+test/s2/s2predicates_test.d CompareDistances/CompareDistance/
+CompareEdgeDistance Coverage + Consistency tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_d_ray.core import distance_predicates as dp
+
+EPS = float(np.finfo(np.float64).eps)
+
+
+def n(p):
+    v = np.asarray(p, dtype=np.float64)
+    nv = np.linalg.norm(v)
+    return v / nv if abs(nv - 1.0) > 4 * EPS else v
+
+
+def chord2(radians):
+    """S1ChordAngle.fromRadians(r).length2()."""
+    return min(4.0, (2.0 * math.sin(0.5 * min(math.pi, radians))) ** 2)
+
+
+RIGHT = 2.0  # S1ChordAngle.right().length2()
+
+
+def check_compare_distances(x, a, b, expected):
+    x, a, b = n(x), n(a), n(b)
+    assert dp.compare_distances(x, a, b) == expected
+    assert dp.compare_distances(x, b, a) == -expected
+
+
+def test_compare_distances_coverage_sin2():
+    check_compare_distances((1, 1, 1), (1, 1 - 1e-15, 1),
+                            (1, 1, 1 + 2e-15), -1)
+    check_compare_distances((1, 1, 0), (1, 1 - 1e-15, 1e-21),
+                            (1, 1 - 1e-15, 0), 1)
+    check_compare_distances((2, 0, 0), (2, -1, 0), (2, 1, 1e-8), -1)
+    check_compare_distances((2, 0, 0), (2, -1, 0), (2, 1, 1e-100), -1)
+    check_compare_distances((1, 0, 0), (1, -1, 0), (1, 1, 0), 1)
+    check_compare_distances((1, 0, 0), (1, 0, 0), (1, 0, 0), 0)
+
+
+def test_compare_distances_coverage_cos():
+    check_compare_distances((1, 1, 1), (1, -1, 0), (-1, 1, 3e-15), 1)
+    check_compare_distances((1, 0, 0), (1, 1e-30, 0), (-1, 1e-40, 0), -1)
+    check_compare_distances((1, 1, 1), (1, -1, 0), (-1, 1, 3e-18), 1)
+    check_compare_distances((1, 1, 1), (1, -1, 0), (-1, 1, 1e-100), 1)
+    check_compare_distances((1, 1, 1), (1, -1, 0), (-1, 1, 0), -1)
+    check_compare_distances((1, 1, 1), (1, -1, 0), (1, -1, 0), 0)
+
+
+def test_compare_distances_coverage_minus_sin2():
+    check_compare_distances((1, 1, 0), (-1, -1 + 1e-15, 0),
+                            (-1, -1, 0), -1)
+    check_compare_distances((-1, -1, 0), (1, 1 - 1e-15, 0),
+                            (1, 1 - 1e-15, 1e-21), 1)
+    check_compare_distances((-1, -1, 0), (2, 1, 0), (2, 1, 1e-8), 1)
+
+
+def check_compare_distance(x, y, r2, expected):
+    x, y = n(x), n(y)
+    assert dp.compare_distance(x, y, r2) == expected
+
+
+def test_compare_distance_coverage():
+    check_compare_distance((1, 1, 1), (1, 1 - 1e-15, 1),
+                           chord2(1e-15), -1)
+    check_compare_distance((1, 0, 0), (1, 1, 0),
+                           chord2(math.pi / 4), -1)
+    check_compare_distance((1, 1e-40, 0), (1 + EPS, 1e-40, 0),
+                           chord2(0.9 * EPS * 1e-40), 1)
+    check_compare_distance((1, 1e-40, 0), (1 + EPS, 1e-40, 0),
+                           chord2(1.1 * EPS * 1e-40), -1)
+    check_compare_distance((1, 0, 0), (1 + EPS, 0, 0), 0.0, 0)
+    check_compare_distance((1, 0, 0), (1, 1e-8, 0), chord2(1e-7), -1)
+    check_compare_distance((1, 0, 0), (-1, 1e-8, 0),
+                           chord2(math.pi - 1e-7), 1)
+    check_compare_distance((1, 1, 0), (1, -1 - 2 * EPS, 0), RIGHT, 1)
+    check_compare_distance((1, 1, 0), (1, -1 - EPS, 0), RIGHT, 1)
+    check_compare_distance((1, 1, 0), (1, -1, 1e-30), RIGHT, 0)
+    # The angle between these two points is exactly 60 degrees.
+    check_compare_distance((1, 1, 0), (0, 1, 1), 1.0, 0)
+
+
+def check_compare_edge_distance(x, a0, a1, r2, expected):
+    x, a0, a1 = n(x), n(a0), n(a1)
+    assert dp.compare_edge_distance(x, a0, a1, r2) == expected
+
+
+def test_compare_edge_distance_coverage():
+    # TriageCompareLineSin2Distance
+    check_compare_edge_distance((1, 1e-10, 1e-15), (1, 0, 0), (0, 1, 0),
+                                chord2(1e-15 + EPS), -1)
+    check_compare_edge_distance((1, 1, 1e-15), (1, 0, 0), (0, 1, 0),
+                                chord2(1e-15 + EPS), -1)
+    check_compare_edge_distance((1, 1, 1e-40), (1, 0, 0), (0, 1, 0),
+                                chord2(1e-40), -1)
+    check_compare_edge_distance((1, 1, 0), (1, 0, 0), (0, 1, 0), 0.0, 0)
+    # TriageCompareLineCos2Distance
+    check_compare_edge_distance((1e-15, 0, 1), (1, 0, 0), (0, 1, 0),
+                                chord2(math.pi / 2 - 1e-15 - 5 * EPS), 1)
+    check_compare_edge_distance((1e-15, 0, 1), (1, 0, 0), (0, 1, 0),
+                                chord2(math.pi / 2 - 1e-15 - EPS), 1)
+    check_compare_edge_distance((1e-40, 0, 1), (1, 0, 0), (0, 1, 0),
+                                RIGHT, -1)
+    check_compare_edge_distance((0, 0, 1), (1, 0, 0), (0, 1, 0),
+                                RIGHT, 0)
+    # Closest point is an edge endpoint.
+    check_compare_edge_distance((1e-15, -1, 0), (1, 0, 0), (1, 1, 0),
+                                RIGHT, -1)
+    check_compare_edge_distance((1e-18, -1, 0), (1, 0, 0), (1, 1, 0),
+                                RIGHT, -1)
+    check_compare_edge_distance((1e-100, -1, 0), (1, 0, 0), (1, 1, 0),
+                                RIGHT, -1)
+    check_compare_edge_distance((0, -1, 0), (1, 0, 0), (1, 1, 0),
+                                RIGHT, 0)
+
+
+def _interpolate_at_distance(r, x, d):
+    """Point at angular distance r from x toward direction d (tangent)."""
+    t = d - float(d @ x) * x
+    t /= np.linalg.norm(t)
+    return math.cos(r) * x + math.sin(r) * t
+
+
+def test_compare_distances_consistency_random():
+    """Tiers must agree whenever each is decisive (the reference
+    Consistency test shape, fewer iterations)."""
+    rng = np.random.default_rng(99)
+    for _ in range(300):
+        x = n(rng.normal(size=3))
+        d = n(rng.normal(size=3))
+        r = (math.pi / 2) * math.pow(1e-30, rng.random())
+        if rng.random() < 0.5:
+            r = math.pi / 2 - r
+        if rng.random() < 0.5:
+            r = math.pi / 2 + r
+        a = _interpolate_at_distance(r, x, d)
+        b = _interpolate_at_distance(r, x, -d)
+        dbl = dp._triage_compare_cos_distances(x, a, b, np.float64)
+        exact = dp._exact_compare_distances(x, a, b)
+        full = dp.compare_distances(x, a, b)
+        if dbl != 0:
+            assert dbl == exact == full
+        elif exact != 0:
+            assert exact == full
+        else:
+            assert full == dp._symbolic_compare_distances(x, a, b)
+        # transitive antisymmetry
+        assert dp.compare_distances(x, b, a) == -full
+
+
+def test_compare_edge_distance_consistency_random():
+    rng = np.random.default_rng(123)
+    for _ in range(200):
+        a0 = n(rng.normal(size=3))
+        d = n(rng.normal(size=3))
+        a1 = _interpolate_at_distance(rng.random() * 2.0, a0, d)
+        x = n(rng.normal(size=3))
+        r2 = chord2(rng.random() * math.pi * 0.49)
+        dbl = dp._triage_compare_edge_distance(x, a0, a1, r2, np.float64)
+        full = dp.compare_edge_distance(x, a0, a1, r2)
+        if dbl != 0:
+            assert dbl == full
+        exact = dp._exact_compare_edge_distance(x, a0, a1, r2)
+        assert exact == full or full == dbl
