@@ -158,3 +158,30 @@ class Cell:
         nxt = v[[1, 2, 3, 0]]
         return float(edge_distances2(np.asarray(p, dtype=float)[None, :],
                                      v, nxt).min())
+
+
+def _expand_endpoint(u, max_v, sin_dist):
+    """Shift the line u=const just enough that its distance to the edge
+    (u,v0)-(u,v1) equals the given distance (s2cell_id.d:267-274)."""
+    import math
+    sin_u_shift = sin_dist * math.sqrt((1 + u * u + max_v * max_v)
+                                       / (1 + u * u))
+    cos_u_shift = math.sqrt(1 - sin_u_shift * sin_u_shift)
+    return ((cos_u_shift * u + sin_u_shift)
+            / (cos_u_shift - sin_u_shift * u))
+
+
+def expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, distance_rad):
+    """Expand a (u,v)-rect on a face so it contains all points within
+    `distance_rad` of the original rect (s2cell_id.d:243-258
+    expandedByDistanceUV).  Negative distances shrink the rect; returns
+    (u_lo', u_hi', v_lo', v_hi') which may be inverted (empty) when
+    shrunk away."""
+    import math
+    max_u = max(abs(u_lo), abs(u_hi))
+    max_v = max(abs(v_lo), abs(v_hi))
+    sin_dist = math.sin(distance_rad)
+    return (_expand_endpoint(u_lo, max_v, -sin_dist),
+            _expand_endpoint(u_hi, max_v, sin_dist),
+            _expand_endpoint(v_lo, max_u, -sin_dist),
+            _expand_endpoint(v_hi, max_u, sin_dist))

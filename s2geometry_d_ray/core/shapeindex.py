@@ -368,3 +368,54 @@ class PolygonShapeIndex:
                                            tuple(A[c]), tuple(B[c])):
                     counts[r] += 1
         return ((counts & 1).astype(bool)) ^ base
+
+
+# Vertex models for contains_point_model (s2contains_point_query.d:50):
+# OPEN (no shape contains its vertices), SEMI_OPEN (default parity),
+# CLOSED (all shapes contain their vertices).
+VERTEX_MODELS = ("open", "semi_open", "closed")
+
+
+def _contains_point_model_impl(index, p, model):
+    from .predicates import crossing_sign, vertex_crossing
+    pt = tuple(float(v) for v in p)
+    pts = np.asarray(p, dtype=np.float64)[None, :]
+    leaf = ci.cellid_from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+    anchor = ci.parent(leaf, index.level)[0]
+    eids = index._bucket_union(anchor)
+    # parity base = containment of the anchor cell center (cell centers
+    # are never polygon vertices for non-degenerate inputs)
+    k = int(np.searchsorted(index.cells, anchor)) if len(index.cells) \
+        else 0
+    if len(index.cells) and k < len(index.cells) \
+            and index.cells[k] == anchor:
+        center = index.centers[k]
+        inside = bool(index.contains_center[k])
+    else:
+        center = np.asarray(Cell(int(anchor)).center())
+        inside = bool(index.polygon.contains_points(center[None, :])[0])
+    ct = tuple(float(v) for v in center)
+    for eid in eids.tolist():
+        v0 = tuple(index.edge_a[eid])
+        v1 = tuple(index.edge_b[eid])
+        sign = crossing_sign(ct, pt, v0, v1)
+        if sign < 0:
+            continue
+        if sign == 0:
+            # For the OPEN and CLOSED models, check whether p is a vertex
+            if model != "semi_open" and (v0 == pt or v1 == pt):
+                return model == "closed"
+            sign = 1 if vertex_crossing(ct, pt, v0, v1) else 0
+        inside ^= bool(sign)
+    return inside
+
+
+def _contains_point_model(self, p, model="semi_open"):
+    """Point containment under a vertex model
+    (s2contains_point_query.d:248-278 shapeContains): OPEN / SEMI_OPEN /
+    CLOSED control whether the polygon contains its own vertices."""
+    assert model in VERTEX_MODELS
+    return _contains_point_model_impl(self, p, model)
+
+
+PolygonShapeIndex.contains_point_model = _contains_point_model

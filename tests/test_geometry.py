@@ -269,3 +269,115 @@ class TestLongEdgeRule:
         got = idx.contains_points(pts)
         want = poly.contains_points(pts)
         assert (got == want).all()
+
+
+class TestExpandedByDistanceUV:
+    """s2cell_id_test.d ExpandedByDistanceUV: points moved onto the
+    boundary of the expanded rect are exactly `distance` from the cell,
+    and shrinking is the inverse of expanding."""
+
+    def test_expansion_covers_nearby_points(self):
+        import math
+
+        import numpy as np
+        from s2geometry_d_ray.core import cellid as ci
+        from s2geometry_d_ray.core import coords
+        from s2geometry_d_ray.core.cell import Cell, expanded_by_distance_uv
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            lat = rng.uniform(-80, 80)
+            lon = rng.uniform(-180, 180)
+            x, y, z = coords.latlng_to_xyz(lat, lon)
+            leaf = ci.cellid_from_xyz(np.float64([x]), np.float64([y]),
+                                      np.float64([z]))[0]
+            cell = Cell(int(ci.parent(np.uint64(leaf), 8)))
+            dist = rng.uniform(1e-6, 0.01)
+            u0, u1, v0, v1 = expanded_by_distance_uv(
+                cell.u_lo, cell.u_hi, cell.v_lo, cell.v_hi, dist)
+            assert u0 < cell.u_lo and u1 > cell.u_hi
+            assert v0 < cell.v_lo and v1 > cell.v_hi
+            # sample points within `0.9*dist` of the cell boundary edges
+            # (same face) must land inside the expanded rect
+            for _ in range(10):
+                # take a boundary point, push it outward in u
+                v = rng.uniform(cell.v_lo, cell.v_hi)
+                p = coords.face_uv_to_xyz(cell.face, cell.u_hi, v)
+                p = np.asarray(p) / np.linalg.norm(p)
+                # move along +u direction on the face tangent
+                q = coords.face_uv_to_xyz(cell.face, cell.u_hi + 1e-3, v)
+                q = np.asarray(q) / np.linalg.norm(q)
+                t = q - float(q @ p) * p
+                t /= np.linalg.norm(t)
+                m = math.cos(0.9 * dist) * p + math.sin(0.9 * dist) * t
+                fu, fv = coords.valid_face_xyz_to_uv(cell.face, m[0], m[1], m[2])
+                assert u0 <= fu <= u1
+                assert v0 <= fv <= v1
+
+    def test_shrink_inverts_expand(self):
+        from s2geometry_d_ray.core.cell import expanded_by_distance_uv
+        u0, u1, v0, v1 = expanded_by_distance_uv(-0.3, 0.4, -0.2, 0.5,
+                                                 0.01)
+        r = expanded_by_distance_uv(u0, u1, v0, v1, -0.01)
+        import pytest
+        # not an exact inverse (max_u/max_v are taken from the expanded
+        # rect), but within O(dist^2) like the reference
+        assert r[0] == pytest.approx(-0.3, abs=1e-4)
+        assert r[1] == pytest.approx(0.4, abs=1e-4)
+        assert r[2] == pytest.approx(-0.2, abs=1e-4)
+        assert r[3] == pytest.approx(0.5, abs=1e-4)
+        # the shrunk rect is strictly inside the original
+        assert r[0] > -0.3001 and r[0] >= -0.3
+        assert r[1] <= 0.4 and r[2] >= -0.2 and r[3] <= 0.5
+
+
+class TestVertexModels:
+    """s2contains_point_query_test.d VertexModel{Open,SemiOpen,Closed}
+    (polygon shape: triangle 0:5, 0:7, 2:6 in lat:lng degrees)."""
+
+    def _setup(self):
+        import numpy as np
+        from s2geometry_d_ray.core import coords
+        from s2geometry_d_ray.core.loop import Loop
+        from s2geometry_d_ray.core.polygon import Polygon
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        tri = Polygon([Loop.from_latlng_degrees([0.0, 0.0, 2.0],
+                                                [5.0, 7.0, 6.0])])
+        idx = PolygonShapeIndex(tri)
+
+        def pt(lat, lng):
+            x, y, z = coords.latlng_to_xyz(lat, lng)
+            v = np.array([x, y, z], dtype=np.float64)
+            return v / np.linalg.norm(v)   # same normalize as Loop
+        return idx, pt
+
+    def test_open(self):
+        idx, pt = self._setup()
+        assert not idx.contains_point_model(pt(0, 5), "open")
+        assert not idx.contains_point_model(pt(0, 7), "open")
+        assert not idx.contains_point_model(pt(2, 6), "open")
+        assert idx.contains_point_model(pt(1, 6), "open")
+        assert not idx.contains_point_model(pt(10, 10), "open")
+
+    def test_semi_open(self):
+        idx, pt = self._setup()
+        assert not idx.contains_point_model(pt(0, 5), "semi_open")
+        assert idx.contains_point_model(pt(0, 7), "semi_open")
+        assert not idx.contains_point_model(pt(2, 6), "semi_open")
+        assert idx.contains_point_model(pt(1, 6), "semi_open")
+        assert not idx.contains_point_model(pt(10, 10), "semi_open")
+
+    def test_closed(self):
+        idx, pt = self._setup()
+        assert idx.contains_point_model(pt(0, 5), "closed")
+        assert idx.contains_point_model(pt(0, 7), "closed")
+        assert idx.contains_point_model(pt(2, 6), "closed")
+        assert idx.contains_point_model(pt(1, 6), "closed")
+        assert not idx.contains_point_model(pt(10, 10), "closed")
+
+    def test_semi_open_matches_default_path(self):
+        import numpy as np
+        idx, pt = self._setup()
+        pts = np.stack([pt(1, 6), pt(10, 10), pt(0.5, 5.8), pt(-1, 6)])
+        got = [idx.contains_point_model(p, "semi_open") for p in pts]
+        want = idx.contains_points(pts).tolist()
+        assert got == want
