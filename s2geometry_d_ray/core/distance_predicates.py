@@ -386,3 +386,126 @@ def compare_edge_distance(x, a0, a1, r2):
         if s != 0:
             return s
     return _exact_compare_edge_distance(x64, a064, a164, float(r2))
+
+
+# -- edge_circumcenter_sign(x0, x1, a, b, c) ---------------------------
+
+def _get_circumcenter(a, b, c, dtype):
+    """(Z, error): circumcenter of CCW triangle ABC (negated if ABC is
+    CW) — s2predicates.d:718-746."""
+    t_err = _err(dtype)
+    ab_diff, ab_sum = a - b, a + b
+    bc_diff, bc_sum = b - c, b + c
+    nab = np.cross(ab_diff, ab_sum)
+    nab_len = math.sqrt(float(nab @ nab))
+    ab_len = math.sqrt(float(ab_diff @ ab_diff))
+    nbc = np.cross(bc_diff, bc_sum)
+    nbc_len = math.sqrt(float(nbc @ nbc))
+    bc_len = math.sqrt(float(bc_diff @ bc_diff))
+    mab = np.cross(nab, ab_sum)
+    mbc = np.cross(nbc, bc_sum)
+    error = (((16 + 24 * _SQRT3) * t_err
+              + 8 * DBL_ERR * (ab_len + bc_len)) * nab_len * nbc_len
+             + 128 * _SQRT3 * DBL_ERR * t_err * (nab_len + nbc_len)
+             + 3 * 4096 * DBL_ERR * DBL_ERR * t_err * t_err)
+    return np.cross(mab, mbc), error
+
+
+def _triage_edge_circumcenter_sign(x0, x1, a, b, c, abc_sign, dtype):
+    """s2predicates.d:748-768."""
+    t_err = _err(dtype)
+    z, z_error = _get_circumcenter(a, b, c, dtype)
+    nx = np.cross(x0 - x1, x0 + x1)
+    result = abc_sign * float(nx @ z)
+    z_len = math.sqrt(float(z @ z))
+    nx_len = math.sqrt(float(nx @ nx))
+    nx_error = ((1 + 2 * _SQRT3) * nx_len
+                + 32 * _SQRT3 * DBL_ERR) * t_err
+    result_error = ((3 * t_err * nx_len + nx_error) * z_len
+                    + z_error * nx_len)
+    return 1 if result > result_error else (
+        -1 if result < -result_error else 0)
+
+
+def _exact_edge_circumcenter_sign(x0, x1, a, b, c, abc_sign):
+    """Degree-20 exact polynomial predicate (s2predicates.d:770-876)."""
+    x0f, x1f = _frac(x0), _frac(x1)
+    af, bf, cf = _frac(a), _frac(b), _frac(c)
+    nxf = _fcross(x0f, x1f)
+    if nxf == (0, 0, 0):
+        return 0  # degenerate edge X (proportional endpoints)
+    dab = _fdot(nxf, _fcross(af, bf))
+    dbc = _fdot(nxf, _fcross(bf, cf))
+    dca = _fdot(nxf, _fcross(cf, af))
+    abc2 = _fdot(af, af) * (dbc * dbc)
+    bca2 = _fdot(bf, bf) * (dca * dca)
+    cab2 = _fdot(cf, cf) * (dab * dab)
+    lhs3_sgn = _fsign(dab)
+    rhs3_sgn = -_fsign(dbc)
+    lhs2_sgn = max(-1, min(1, lhs3_sgn - rhs3_sgn))
+    if lhs2_sgn == 0 and lhs3_sgn != 0:
+        lhs2_sgn = _fsign(cab2 - abc2) * lhs3_sgn
+    rhs2_sgn = -_fsign(dca)
+    result = max(-1, min(1, lhs2_sgn - rhs2_sgn))
+    if result == 0 and lhs2_sgn != 0:
+        lhs4_sgn = _fsign(dab) * _fsign(dbc)
+        rhs4 = bca2 - cab2 - abc2
+        result = max(-1, min(1, lhs4_sgn - _fsign(rhs4)))
+        if result == 0 and lhs4_sgn != 0:
+            result = _fsign(4 * abc2 * cab2 - rhs4 * rhs4) * lhs4_sgn
+        result *= lhs2_sgn
+    return abc_sign * result
+
+
+def _unperturbed_sign(a, b, c):
+    """Sign without symbolic perturbation (s2predicates.d:885-889)."""
+    from .predicates import expensive_sign, triage_sign
+    ta, tb, tc = (tuple(float(v) for v in p) for p in (a, b, c))
+    s = triage_sign(ta, tb, tc)
+    if s == 0:
+        s = expensive_sign(ta, tb, tc, perturb=False)
+    return s
+
+
+def _symbolic_edge_circumcenter_sign(x0, x1, a, b, c):
+    """s2predicates.d:898-965: pedestal perturbation toward the
+    lexicographically smallest triangle vertex."""
+    ta, tb, tc = (tuple(float(v) for v in p) for p in (a, b, c))
+    if ta == tb or tb == tc or tc == ta:
+        return 0
+    pa, pb, pc = sorted([ta, tb, tc])
+    s = _unperturbed_sign(x0, x1, pa)
+    if s != 0:
+        return s
+    s = _unperturbed_sign(x0, x1, pb)
+    if s != 0:
+        return s
+    return _unperturbed_sign(x0, x1, pc)
+
+
+def edge_circumcenter_sign(x0, x1, a, b, c):
+    """Sign(X0, X1, Z) where Z is the circumcenter of triangle ABC —
+    which side of edge X the center of the circle through A, B, C lies
+    on (s2predicates.d:1389-1411).  Zero only for degenerate inputs."""
+    from .predicates import sign as _robust_sign
+    abc_sign = _robust_sign(tuple(float(v) for v in a),
+                            tuple(float(v) for v in b),
+                            tuple(float(v) for v in c))
+    x064, x164 = _v(x0, np.float64), _v(x1, np.float64)
+    a64, b64, c64 = (_v(p, np.float64) for p in (a, b, c))
+    s = _triage_edge_circumcenter_sign(x064, x164, a64, b64, c64,
+                                       abc_sign, np.float64)
+    if s != 0:
+        return s
+    if _HAVE_LD:
+        s = _triage_edge_circumcenter_sign(
+            _v(x0, np.longdouble), _v(x1, np.longdouble),
+            _v(a, np.longdouble), _v(b, np.longdouble),
+            _v(c, np.longdouble), abc_sign, np.longdouble)
+        if s != 0:
+            return s
+    s = _exact_edge_circumcenter_sign(x064, x164, a64, b64, c64,
+                                      abc_sign)
+    if s != 0:
+        return s
+    return _symbolic_edge_circumcenter_sign(x064, x164, a64, b64, c64)

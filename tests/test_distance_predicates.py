@@ -169,3 +169,38 @@ def test_compare_edge_distance_consistency_random():
             assert dbl == full
         exact = dp._exact_compare_edge_distance(x, a0, a1, r2)
         assert exact == full or full == dbl
+
+
+def check_circumcenter_sign(x0, x1, a, b, c, expected):
+    x0, x1, a, b, c = n(x0), n(x1), n(a), n(b), n(c)
+    assert dp.edge_circumcenter_sign(x0, x1, a, b, c) == expected
+    # Invariances: reversing edge X negates; rotating A,B,C preserves.
+    assert dp.edge_circumcenter_sign(x1, x0, a, b, c) == -expected
+    assert dp.edge_circumcenter_sign(x0, x1, b, c, a) == expected
+    assert dp.edge_circumcenter_sign(x0, x1, c, a, b) == expected
+
+
+def test_edge_circumcenter_sign_coverage():
+    """Ported from s2predicates_test.d EdgeCircumcenterSign.Coverage."""
+    check_circumcenter_sign((1, 0, 0), (1, 1, 0),
+                            (0, 0, 1), (1, 0, 1), (0, 1, 1), 1)
+    check_circumcenter_sign((1, 0, 0), (1, 1, 0),
+                            (0, 0, -1), (1, 0, -1), (0, 1, -1), -1)
+    check_circumcenter_sign((1, -1, 0), (1, 1, 0),
+                            (1, -1e-5, 1), (1, 1e-5, -1),
+                            (1, 1 - 1e-5, 1e-5), -1)
+    check_circumcenter_sign((1, -1, 0), (1, 1, 0),
+                            (1, -1e-5, 1), (1, 1e-5, -1),
+                            (1, 1 - 1e-9, 1e-5), -1)
+    check_circumcenter_sign((1, -1, 0), (1, 1, 0),
+                            (1, -1e-5, 1), (1, 1e-5, -1),
+                            (1, 1 - 1e-15, 1e-5), -1)
+    check_circumcenter_sign((1, -1, 0), (1, 1, 0),
+                            (1, -1e-5, 1), (1, 1e-5, -1),
+                            (1, 1, 1e-5), 1)
+    # second symbolic perturbation
+    check_circumcenter_sign((1, -1, 0), (1, 1, 0),
+                            (0, -1, 0), (0, 0, -1), (0, 0, 1), -1)
+    # third symbolic perturbation
+    check_circumcenter_sign((0, -1, 1), (0, 1, 1),
+                            (0, 1, 0), (0, -1, 0), (1, 0, 0), -1)
