@@ -22,8 +22,6 @@ def run_resumable_join(out_dir, n_pages, polygons, shard_rows=100_000,
                        seed=42):
     """Returns (records, skipped): lineage records written this run and
     the shard ids that were already complete."""
-    import pyarrow as pa
-
     index = build_polygon_index(polygons)
     ref = broadcast(index)
     n_shards = (n_pages + shard_rows - 1) // shard_rows
@@ -48,9 +46,10 @@ def run_resumable_join(out_dir, n_pages, polygons, shard_rows=100_000,
         enc = geocoded_pages(ds)
         join = enc.map_batches(make_join_refine_fn(ref),
                                batch_format="pyarrow", batch_size=65536)
-        tbl = pa.Table.from_pandas(join.to_pandas(), preserve_index=False)
-        rec = lineage.write_partition(
-            out_dir, shard, tbl, spec,
+        # Workers stream blocks straight into the partition directory —
+        # no output byte routes through the driver.
+        rec = lineage.write_partition_dataset(
+            out_dir, shard, join, spec,
             metrics={"rows_in": hi - lo,
                      "wall_sec": round(time.time() - t0, 3)})
         written.append(rec)

@@ -120,13 +120,12 @@ def tile_counts(pages_ds, level=12, shuffle=None):
 
     The partial pre-aggregation moves one row per (block, tile) — never one
     row per page. The combine has two paths:
-      shuffle=False (default when level <= 14): driver-side pandas combine
-        of the partials — tile cardinality is bounded by 6*4^level
-        (level 12 -> <=100M worldwide; at test scales a few hundred k),
-        so partials are a small result.
-      shuffle=True: groupby("tile_id") all-to-all — the scale path for
-        fine levels (15+) or when partials no longer fit one machine.
-    """
+      shuffle=False: driver-side pandas combine of the partials — only
+        safe while worldwide tile cardinality (6*4^level) is small.
+      shuffle=True: groupby("tile_id") all-to-all — the scale path.
+    Default flips on CARDINALITY, not a fixed level: driver combine only
+    when 6*4^level <= 1e6 (level <= 8), since at 100x data many blocks x
+    many tiles explodes the driver even at level 12 (VERDICT r1)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
@@ -138,7 +137,7 @@ def tile_counts(pages_ds, level=12, shuffle=None):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     if shuffle is None:
-        shuffle = level > 14
+        shuffle = 6 * (4 ** level) > 1_000_000  # level >= 9
     if shuffle:
         from ray.data.aggregate import Sum
         return partials.groupby("tile_id").aggregate(

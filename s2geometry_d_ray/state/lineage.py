@@ -105,3 +105,41 @@ def write_manifest(out_dir: str, extra=None):
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(out_dir, "_MANIFEST.json"))
     return manifest
+
+
+def write_partition_dataset(out_dir: str, part_id: int, ds, spec,
+                            metrics=None) -> dict:
+    """Atomically write one partition from a Ray Dataset: workers stream
+    blocks straight to the partition's parquet files (no driver
+    materialization — the scale path for VERDICT r1's resumable fix),
+    then the lineage record is written and the dir renamed into place."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(out_dir, part_id)
+    tmp = pdir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.time()
+    ds.write_parquet(tmp)
+    rows_out = 0
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            rows_out += pq.read_metadata(os.path.join(tmp, name)).num_rows
+    record = {
+        "partition_id": part_id,
+        "rows_out": rows_out,
+        "input_fingerprint": input_fingerprint(spec),
+        "spec": spec,
+        "wall_time_sec": round(time.time() - t0, 4),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "metrics": metrics or {},
+    }
+    with open(os.path.join(tmp, "_LINEAGE.json"), "w") as fh:
+        json.dump(record, fh)
+    if os.path.isdir(pdir):
+        import shutil
+        shutil.rmtree(pdir)
+    os.rename(tmp, pdir)
+    return record

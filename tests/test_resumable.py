@@ -40,11 +40,16 @@ def test_resume_skips_completed(tmp_path):
         {"kind": "synthetic_pages", "seed": 42, "row_range": [1000, 2000]})
     assert rec["metrics"]["rows_in"] == 1000
 
-    # Combined output equals a fresh single-shot run.
-    tables = [pq.read_table(os.path.join(out, f"part-{i:05d}",
-                                         "data.parquet"))
-              for i in range(3)]
-    total = sum(t.num_rows for t in tables)
+    # Combined output equals a fresh single-shot run.  Partitions are
+    # directories of worker-written parquet files (streamed, not routed
+    # through the driver).
+    total = 0
+    for i in range(3):
+        pdir = os.path.join(out, f"part-{i:05d}")
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert files
+        total += sum(pq.read_table(os.path.join(pdir, f)).num_rows
+                     for f in files)
     out2 = str(tmp_path / "oneshot")
     w3, _, m3 = run_resumable_join(out2, n_pages=3000, polygons=polys,
                                    shard_rows=3000)
