@@ -169,3 +169,15 @@ def cell_union_border_rings(ids, level=None):
         x, y, z = coords.normalize_xyz(x, y, z)
         out.append(np.stack([x, y, z], axis=1))
     return out
+
+
+def overlap_fractions_exact(poly_a, poly_b):
+    """(area(a ∩ b)/area(a), area(a ∩ b)/area(b)) from the CONSTRUCTED
+    intersection polygon — exact getOverlapFractions semantics
+    (s2polygon.d:600-624), replacing r1's cell-raster approximation."""
+    from .polygon_ops import boolean_intersection, polygon_area
+    inter = boolean_intersection(poly_a, poly_b)
+    ai = polygon_area(inter)
+    aa = polygon_area(poly_a)
+    ab = polygon_area(poly_b)
+    return (ai / aa if aa > 0 else 0.0, ai / ab if ab > 0 else 0.0)

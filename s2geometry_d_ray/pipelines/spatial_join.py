@@ -65,18 +65,33 @@ def _auto_concurrency(requested=None):
 
 
 def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
-                 drop_uncontained=False, use_actors=False):
+                 drop_uncontained=False, use_actors=False, index=None):
     """Returns a Dataset of join rows (url, polygon_id, cell_id, contained).
 
     polygons: list of {'polygon_id', 'polygon'} records (the small side).
+    index: optional prebuilt build_polygon_index() result — the polygon
+    side is a dimension table built ONCE per job and reused across every
+    page shard; pass it to avoid rebuilding per pipeline invocation.
 
     use_actors=False (default): stateless tasks on the shared worker pool
     with a per-worker index cache — no actor-pool spin-up; right when the
     per-batch work is small vs actor startup. use_actors=True: explicit
     actor pool — right when the index build itself must run remotely or
     per-actor state is heavy."""
-    index = build_polygon_index(polygons)
-    ref = broadcast(index)
+    if index is None:
+        index = build_polygon_index(polygons)
+    try:
+        import ray
+        is_ref = isinstance(index, ray.ObjectRef)
+    except Exception:
+        is_ref = False
+    if is_ref:
+        # pre-broadcast by the caller (ray.put once per job)
+        ref = index
+        import ray
+        index = ray.get(ref)
+    else:
+        ref = broadcast(index)
     # Encode only the ancestor levels the covering index actually holds —
     # fewer uint64 columns through the pipe.
     levels = tuple(sorted(index["levels"])) or (12,)

@@ -176,3 +176,23 @@ def test_bug3_union_nonempty():
     ]])
     c = po.boolean_union(a, b)
     assert c is not None
+
+
+def test_overlap_fractions_exact_matches_raster():
+    """Exact overlap fractions agree with the cell-raster approximation
+    to raster precision, and hit exact endpoints for nested/disjoint."""
+    from s2geometry_d_ray.core.booleans import (overlap_fractions,
+                                                overlap_fractions_exact)
+    a, b = circle(10, 20, 5), circle(12, 23, 5)
+    fa_e, fb_e = overlap_fractions_exact(a, b)
+    fa_r, fb_r = overlap_fractions(a, b, level=12)
+    assert fa_e == pytest.approx(fa_r, abs=0.05)
+    assert fb_e == pytest.approx(fb_r, abs=0.05)
+    # nested: inner fully covered
+    big, small = circle(0, 0, 10), circle(0, 0, 3)
+    fa, fb = overlap_fractions_exact(small, big)
+    assert fa == pytest.approx(1.0, abs=1e-9)
+    assert 0 < fb < 0.2
+    # disjoint
+    fa, fb = overlap_fractions_exact(circle(0, 0, 4), circle(0, 40, 4))
+    assert fa == 0.0 and fb == 0.0
