@@ -154,22 +154,40 @@ def q5_nation_revenue(sf_dir):
     """Revenue per nation via customer->orders->lineitem joins.
 
     Distributed plan (no fact table on the driver):
-      nation (25 rows) broadcast -> customer maps c_nationkey->n_nationkey
-      per batch (vectorized take);
-      orders JOIN customer on custkey = shuffle hash join;
+      customer -> (sorted custkey, nationkey) arrays BROADCAST once via
+      ray.put (customer is 10x smaller than orders, 60x smaller than
+      lineitem — the classic small-side broadcast; at extreme SF flip to
+      a shuffle join);
+      orders maps o_custkey -> nationkey per batch (vectorized
+      searchsorted against the broadcast arrays);
       lineitem per-block partial (l_orderkey, revenue, n_items)
         JOIN orders-with-nation on l_orderkey = shuffle hash join;
-      per-batch partial groupby(n_nationkey) -> 25-row driver combine.
-    n_name attaches at the very end from the broadcast nation table."""
+      per-batch partial groupby(c_nationkey) -> 25-row driver combine.
+    n_name attaches at the very end from the tiny nation table."""
+    import ray
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nparts = _join_partitions(sf_dir)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_df = _read(sf_dir, "customer",
+                    ["c_custkey", "c_nationkey"]).to_pandas() \
+        .sort_values("c_custkey")
+    cust_ref = ray.put((cust_df["c_custkey"].to_numpy(np.int64),
+                        cust_df["c_nationkey"].to_numpy(np.int64)))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        ckeys, cnat = ray.get(cust_ref)
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ok)
+        pos = np.minimum(pos, len(ckeys) - 1)
+        hit = ckeys[pos] == ok
+        t = batch.filter(pa.array(hit))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_nationkey": pa.array(cnat[pos[hit]], pa.int64())})
+
     orders_nat = _read(sf_dir, "orders",
-                       ["o_orderkey", "o_custkey"]).join(
-        cust, join_type="inner", num_partitions=nparts,
-        on=("o_custkey",), right_on=("c_custkey",)).select_columns(
-        ["o_orderkey", "c_nationkey"])
+                       ["o_orderkey", "o_custkey"]).map_batches(
+        attach_nation, batch_format="pyarrow", batch_size=65536)
 
     def li_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
