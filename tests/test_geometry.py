@@ -381,3 +381,51 @@ class TestVertexModels:
         got = [idx.contains_point_model(p, "semi_open") for p in pts]
         want = idx.contains_points(pts).tolist()
         assert got == want
+
+
+class TestContainsVertexQuery:
+    """s2contains_vertex_query.d semantics: under the semi-open model,
+    of polygons tiling the region around a shared vertex exactly one
+    contains it, and the local query agrees with the full PIP."""
+
+    def test_agrees_with_semi_open_pip(self):
+        import numpy as np
+        from s2geometry_d_ray.core import coords
+        from s2geometry_d_ray.core.contains_vertex import \
+            ContainsVertexQuery
+        from s2geometry_d_ray.core.loop import Loop
+        from s2geometry_d_ray.core.polygon import Polygon
+        from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+        rng = np.random.default_rng(21)
+        for _ in range(20):
+            lat0 = float(rng.uniform(-60, 60))
+            lon0 = float(rng.uniform(-170, 170))
+            n = int(rng.integers(3, 8))
+            lats = lat0 + rng.uniform(0.2, 3.0, n) * np.cos(
+                np.linspace(0, 2 * np.pi, n, endpoint=False))
+            lons = lon0 + rng.uniform(0.2, 3.0, n) * np.sin(
+                np.linspace(0, 2 * np.pi, n, endpoint=False))
+            lats[0], lons[0] = lat0, lon0
+            loop = Loop.from_latlng_degrees(lats, lons)
+            poly = Polygon([loop])
+            idx = PolygonShapeIndex(poly)
+            v = loop.vertices
+            for k in range(n):
+                q = ContainsVertexQuery(v[k])
+                q.add_edge(v[(k + 1) % n], +1)   # outgoing
+                q.add_edge(v[(k - 1) % n], -1)   # incoming
+                got = q.contains_sign()
+                assert got in (-1, 1)
+                want = idx.contains_point_model(v[k], "semi_open")
+                assert (got > 0) == want
+
+    def test_matched_siblings_return_zero(self):
+        from s2geometry_d_ray.core.contains_vertex import \
+            ContainsVertexQuery
+        import numpy as np
+        t = np.array([1.0, 0, 0])
+        q = ContainsVertexQuery(t)
+        a = np.array([0.0, 1.0, 0])
+        q.add_edge(a, +1)
+        q.add_edge(a, -1)
+        assert q.contains_sign() == 0
