@@ -88,9 +88,20 @@ class Cell:
         return (-n[0], -n[1], -n[2])
 
     def center(self):
-        u = 0.5 * (self.u_lo + self.u_hi)
-        v = 0.5 * (self.v_lo + self.v_hi)
-        x, y, z = face_uv_to_xyz_scalar(self.face, u, v)
+        """Cell center via the (si,ti) midpoint — the reference
+        definition (s2cell.d getCenter == id.toPoint == getCenterSiTi);
+        note this is the ST-space midpoint, which differs from the
+        UV-rect midpoint at coarse levels."""
+        import numpy as np
+
+        from . import coords as _coords
+        size = 1 << (ci.MAX_LEVEL - self.level)
+        face, i, j = ci.to_face_ij_scalar(self.id)
+        si = 2 * (i & -size) + size
+        ti = 2 * (j & -size) + size
+        x, y, z = _coords.face_si_ti_to_xyz(face, np.float64(si),
+                                            np.float64(ti))
+        x, y, z = float(x), float(y), float(z)
         n = math.sqrt(x * x + y * y + z * z)
         return (x / n, y / n, z / n)
 
