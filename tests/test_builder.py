@@ -1,0 +1,134 @@
+"""S2Builder-lite — ported reference cases from test/s2/s2builder_test.d
+(SimpleVertexMerging, SimpleS2CellIdSnapping, SimpleIntLatLngSnapping,
+VerticesMoveLessThanSnapRadius, SelfIntersectingPolyline)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_d_ray.core import builder as bu
+from s2geometry_d_ray.core import cellid as ci
+from s2geometry_d_ray.core import coords
+from s2geometry_d_ray.core.loop import Loop
+from s2geometry_d_ray.core.polygon import Polygon
+
+
+def ll(lat, lng):
+    x, y, z = coords.latlng_to_xyz(lat, lng)
+    v = np.array([float(x), float(y), float(z)])
+    return v / np.linalg.norm(v)
+
+
+def poly_from_latlng(*pairs):
+    return Polygon([Loop.from_latlng_degrees([p[0] for p in pairs],
+                                             [p[1] for p in pairs])])
+
+
+def _angle(x, y):
+    return math.atan2(np.linalg.norm(np.cross(x, y)), float(x @ y))
+
+
+def _vertices_near(out_poly, expected_pts, tol_rad):
+    got = np.concatenate([lp.vertices for lp in out_poly.loops])
+    for p in expected_pts:
+        assert min(_angle(p, g) for g in got) <= tol_rad
+    for g in got:
+        assert min(_angle(p, g) for p in expected_pts) <= tol_rad
+
+
+def test_simple_vertex_merging():
+    """s2builder_test.d:97-113: vertices closer than the snap radius
+    merge; the 9-vertex input collapses to a triangle."""
+    snap_radius = math.radians(0.5)
+    b = bu.Builder(bu.IdentitySnapFunction(snap_radius))
+    b.add_polygon(poly_from_latlng(
+        (0, 0), (0.2, 0.2), (0.1, 0.2), (0.1, 0.9), (0, 1),
+        (0.1, 1.1), (0.9, 1), (1, 1), (1, 0.9)))
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    assert len(out.loops[0].vertices) == 3
+    _vertices_near(out, [ll(0, 0), ll(0, 1), ll(1, 0.9)], snap_radius)
+
+
+def test_simple_cellid_snapping():
+    """s2builder_test.d:114-134: every output vertex is a cell center
+    at the chosen level."""
+    level = bu.CellIdSnapFunction.level_for_max_snap_radius(
+        math.radians(1.0))
+    snapf = bu.CellIdSnapFunction(level)
+    b = bu.Builder(snapf)
+    inp = poly_from_latlng((2, 2), (3, 4), (2, 6), (4, 5), (6, 6),
+                           (5, 4), (6, 2), (4, 3))
+    b.add_polygon(inp)
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    from s2geometry_d_ray.core.cell import Cell
+    for v in out.loops[0].vertices:
+        leaf = ci.cellid_from_xyz(v[0:1], v[1:2], v[2:3])[0]
+        center = np.asarray(
+            Cell(int(ci.parent(np.uint64(leaf), level))).center())
+        assert np.allclose(v, center, rtol=0, atol=1e-15)
+    # boundary stays within the snap radius of the input
+    _vertices_near(out, [lp for loop in inp.loops
+                         for lp in loop.vertices], snapf.snap_radius)
+
+
+def test_simple_intlatlng_snapping():
+    """s2builder_test.d:135-150: snapping to whole-degree (E0)
+    coordinates produces the exact expected polygon."""
+    b = bu.Builder(bu.IntLatLngSnapFunction(0))
+    b.add_polygon(poly_from_latlng(
+        (2.01, 2.09), (3.24, 4.49), (1.78, 6.25), (3.51, 5.49),
+        (6.11, 6.11), (5.22, 3.88), (5.55, 2.49), (4.49, 2.51)))
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    expected = [ll(2, 2), ll(3, 4), ll(2, 6), ll(4, 5), ll(6, 6),
+                ll(5, 4), ll(6, 2), ll(4, 3)]
+    got = out.loops[0].vertices
+    assert len(got) == len(expected)
+    _vertices_near(out, expected, 1e-12)
+
+
+def test_vertices_move_less_than_snap_radius():
+    """s2builder_test.d:151-172: a 1000-gon with 1-degree snap radius
+    keeps ~90-100 vertices (chains don't collapse to a point)."""
+    snap_radius = math.radians(1.0)
+    b = bu.Builder(bu.IdentitySnapFunction(snap_radius))
+    inp = Polygon([Loop.make_regular(0.0, 0.0, math.radians(20.0), 1000)])
+    b.add_polygon(inp)
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    n = len(out.loops[0].vertices)
+    assert 90 <= n <= 100
+    # every output vertex is within snap_radius of some input vertex
+    iv = inp.loops[0].vertices
+    for v in out.loops[0].vertices:
+        d = 2 * np.arcsin(np.minimum(
+            1.0, 0.5 * np.linalg.norm(iv - v, axis=1)))
+        assert d.min() <= snap_radius + 1e-12
+
+
+def test_self_intersecting_polyline():
+    """s2builder_test.d:413-431: crossing polyline edges get the
+    intersection point inserted into both edges (E1 snapping)."""
+    b = bu.Builder(bu.IntLatLngSnapFunction(1), split_crossing_edges=True)
+    b.add_polyline(np.stack([ll(3, 1), ll(1, 3), ll(1, 1), ll(3, 3)]))
+    out = b.build_polyline()
+    expected = np.stack([ll(3, 1), ll(2, 2), ll(1, 3), ll(1, 1),
+                         ll(2, 2), ll(3, 3)])
+    assert out.shape == expected.shape
+    assert np.allclose(out, expected, rtol=0, atol=1e-12)
+
+
+def test_graph_input_edge_ids():
+    """Graph preserves input edge provenance through splits."""
+    b = bu.Builder(bu.IdentitySnapFunction(0.0),
+                   split_crossing_edges=True)
+    b.add_edge(ll(3, 1), ll(1, 3))
+    b.add_edge(ll(1, 1), ll(3, 3))
+    g = b.build_graph()
+    assert sorted(g.input_edge_ids) == [0, 0, 1, 1]
+    assert len(g.vertices) == 5  # 4 endpoints + shared intersection
