@@ -509,3 +509,165 @@ def edge_circumcenter_sign(x0, x1, a, b, c):
     if s != 0:
         return s
     return _symbolic_edge_circumcenter_sign(x064, x164, a64, b64, c64)
+
+
+# -- get_voronoi_site_exclusion(a, b, x0, x1, r2) ----------------------
+
+FIRST, SECOND, NEITHER, UNCERTAIN = "first", "second", "neither", \
+    "uncertain"
+
+
+def _triage_voronoi_site_exclusion(a, b, x0, x1, r2, dtype):
+    """s2predicates.d:969-1157: does the r-disc-clipped Voronoi region
+    of site A (or B) miss edge X entirely?"""
+    t_err = _err(dtype)
+    n = np.cross(x0 - x1, x0 + x1)               # 2 * x0 x x1
+    n2 = float(n @ n)
+    n1 = math.sqrt(n2)
+    dn_error = ((3.5 + 2 * _SQRT3) * n1 + 32 * _SQRT3 * DBL_ERR) * t_err
+    cos_r = 1 - 0.5 * r2
+    sin2_r = r2 * (1 - 0.25 * r2)
+    n2sin2_r = n2 * sin2_r
+
+    cv, ax2 = _get_closest_vertex(a, x0, x1)
+    a_dn = float((a - cv) @ n)
+    a_dn2 = a_dn * a_dn
+    a_dn_error = dn_error * math.sqrt(ax2)
+    ra2 = n2sin2_r - a_dn2
+    ra2_error = ((8 * DBL_ERR + 4 * t_err) * a_dn2
+                 + (2 * abs(a_dn) + a_dn_error) * a_dn_error
+                 + 6 * t_err * n2sin2_r)
+    min_ra2 = ra2 - ra2_error
+    if min_ra2 < 0:
+        return UNCERTAIN
+    ra = math.sqrt(ra2)
+    ra_error = 1.5 * t_err * ra + 0.5 * ra2_error / math.sqrt(min_ra2)
+
+    cv, bx2 = _get_closest_vertex(b, x0, x1)
+    b_dn = float((b - cv) @ n)
+    b_dn2 = b_dn * b_dn
+    b_dn_error = dn_error * math.sqrt(bx2)
+    rb2 = n2sin2_r - b_dn2
+    rb2_error = ((8 * DBL_ERR + 4 * t_err) * b_dn2
+                 + (2 * abs(b_dn) + b_dn_error) * b_dn_error
+                 + 6 * t_err * n2sin2_r)
+    min_rb2 = rb2 - rb2_error
+    if min_rb2 < 0:
+        return UNCERTAIN
+    rb = math.sqrt(rb2)
+    rb_error = 1.5 * t_err * rb + 0.5 * rb2_error / math.sqrt(min_rb2)
+
+    lhs3 = cos_r * (rb - ra)
+    abs_lhs3 = abs(lhs3)
+    lhs3_error = cos_r * (ra_error + rb_error) + 3 * t_err * abs_lhs3
+
+    axb = np.cross(a - b, a + b)                 # 2 * a x b
+    axb1 = math.sqrt(float(axb @ axb))
+    sin_d = 0.5 * float(axb @ n)
+    sin_d_error = ((4 * DBL_ERR + (2.5 + 2 * _SQRT3) * t_err) * axb1 * n1
+                   + 16 * _SQRT3 * DBL_ERR * t_err * (axb1 + n1))
+
+    result = abs_lhs3 - sin_d
+    result_error = lhs3_error + sin_d_error
+    if result < -result_error:
+        return NEITHER
+
+    cos_d = float(a @ b) * n2 - a_dn * b_dn
+    cos_d_error = (((8 * DBL_ERR + 5 * t_err) * abs(a_dn) + a_dn_error)
+                   * abs(b_dn) + (abs(a_dn) + a_dn_error) * b_dn_error
+                   + (8 * DBL_ERR + 8 * t_err) * n2)
+    if cos_d <= -cos_d_error:
+        return NEITHER
+    if cos_d < cos_d_error:
+        return UNCERTAIN
+
+    if sin_d < -sin_d_error:
+        r90 = 2.0
+        ca = -1 if lhs3 < -lhs3_error \
+            else _triage_compare_cos_distance(a, x0, r90, dtype)
+        cb = -1 if lhs3 > lhs3_error \
+            else _triage_compare_cos_distance(b, x1, r90, dtype)
+        if ca < 0 and cb < 0:
+            return NEITHER
+        if ca <= 0 and cb <= 0:
+            return UNCERTAIN
+        if abs_lhs3 <= lhs3_error:
+            return UNCERTAIN
+    elif sin_d <= sin_d_error:
+        return UNCERTAIN
+    if result <= result_error:
+        return UNCERTAIN
+    return FIRST if lhs3 > 0 else SECOND
+
+
+def _exact_voronoi_site_exclusion(a, b, x0, x1, r2):
+    """s2predicates.d:1159-1271 (Fraction arithmetic + symbolic
+    tie-break)."""
+    af, bf = _frac(a), _frac(b)
+    x0f, x1f = _frac(x0), _frac(x1)
+    r2f = Fraction(float(r2))
+    n = _fcross(x0f, x1f)
+    n2 = _fdot(n, n)
+    a_dn = _fdot(af, n)
+    b_dn = _fdot(bf, n)
+    cos_d = _fdot(af, bf) * n2 - a_dn * b_dn
+    if _fsign(cos_d) < 0:
+        return NEITHER
+    a2 = _fdot(af, af)
+    b2 = _fdot(bf, bf)
+    n2sin2_r = r2f * (1 - Fraction(1, 4) * r2f) * n2
+    sa2 = b2 * (n2sin2_r * a2 - a_dn * a_dn)
+    sb2 = a2 * (n2sin2_r * b2 - b_dn * b_dn)
+    lhs2_sgn = _fsign(sb2 - sa2)
+    rhs2 = _fdot(_fcross(af, bf), n)
+    rhs2_sgn = _fsign(rhs2)
+    if rhs2_sgn < 0:
+        r90 = 2.0
+        ca = -1 if lhs2_sgn < 0 else _exact_compare_distance(a, x0, r90)
+        cb = -1 if lhs2_sgn > 0 else _exact_compare_distance(b, x1, r90)
+        if ca <= 0 and cb <= 0:
+            return NEITHER
+        return FIRST if ca == 1 else SECOND
+    if lhs2_sgn == 0:
+        return NEITHER
+    cos_r = 1 - Fraction(1, 2) * r2f
+    cos2_r = cos_r * cos_r
+    lhs3 = cos2_r * (sa2 + sb2) - rhs2 * rhs2
+    if _fsign(lhs3) < 0:
+        return NEITHER
+    lhs4 = lhs3 * lhs3
+    rhs4 = 4 * cos2_r * cos2_r * sa2 * sb2
+    result = _fsign(lhs4 - rhs4)
+    if result < 0:
+        return NEITHER
+    if result == 0:
+        # shared coverage endpoint at distance exactly r: symbolic
+        # perturbation (A closer to equidistant points iff A > B)
+        ta = tuple(float(v) for v in a)
+        tb = tuple(float(v) for v in b)
+        if (lhs2_sgn > 0) == (ta > tb):
+            return NEITHER
+    return FIRST if lhs2_sgn > 0 else SECOND
+
+
+def get_voronoi_site_exclusion(a, b, x0, x1, r2):
+    """Given sites A, B within distance r of edge X with
+    compare_distances(x0, a, b) < 0: which site's r-clipped Voronoi
+    region misses edge X entirely (s2predicates.d:1305-1340)?
+    Returns 'first' / 'second' / 'neither'."""
+    a64, b64 = _v(a, np.float64), _v(b, np.float64)
+    x064, x164 = _v(x0, np.float64), _v(x1, np.float64)
+    if compare_distances(x164, a64, b64) < 0:
+        return SECOND  # site A closer to every point on X
+    res = _triage_voronoi_site_exclusion(a64, b64, x064, x164,
+                                         float(r2), np.float64)
+    if res != UNCERTAIN:
+        return res
+    if _HAVE_LD:
+        res = _triage_voronoi_site_exclusion(
+            _v(a, np.longdouble), _v(b, np.longdouble),
+            _v(x0, np.longdouble), _v(x1, np.longdouble),
+            np.longdouble(r2), np.longdouble)
+        if res != UNCERTAIN:
+            return res
+    return _exact_voronoi_site_exclusion(a64, b64, x064, x164, float(r2))

@@ -204,3 +204,53 @@ def test_edge_circumcenter_sign_coverage():
     # third symbolic perturbation
     check_circumcenter_sign((0, -1, 1), (0, 1, 1),
                             (0, 1, 0), (0, -1, 0), (1, 0, 0), -1)
+
+
+def check_voronoi(a, b, x0, x1, r2, expected):
+    a, b, x0, x1 = n(a), n(b), n(x0), n(x1)
+    # preconditions of the reference method
+    assert dp.compare_distances(x0, a, b) < 0
+    assert dp.compare_edge_distance(a, x0, x1, r2) <= 0
+    assert dp.compare_edge_distance(b, x0, x1, r2) <= 0
+    got = dp.get_voronoi_site_exclusion(a, b, x0, x1, r2)
+    assert got == expected
+    # Swapping sites AND the edge direction swaps FIRST <-> SECOND —
+    # valid only when the swapped call's precondition holds (B closer
+    # to X1), matching the reference test harness.
+    if dp.compare_distances(x1, b, a) < 0:
+        swapped = {"first": "second", "second": "first",
+                   "neither": "neither"}[expected]
+        assert dp.get_voronoi_site_exclusion(b, a, x1, x0, r2) == swapped
+
+
+def test_voronoi_site_exclusion_coverage():
+    """Ported from s2predicates_test.d VoronoiSiteExclusion.Coverage."""
+    # Both sites closest to edge endpoint X0 / X1.
+    check_voronoi((1, -1e-5, 0), (1, -2e-5, 0), (1, 0, 0), (1, 1, 0),
+                  chord2(1e-3), "second")
+    check_voronoi((1, 1, 1e-30), (1, 1, -1e-20), (1, 0, 0), (1, 1, 0),
+                  chord2(1e-10), "second")
+    # Neither site excluded.
+    check_voronoi((1, -1e-10, 1e-5), (1, 1e-10, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1e-4), "neither")
+    check_voronoi((1, -1e-10, 1e-5), (1, 1e-10, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1e-5), "neither")
+    check_voronoi((1, -1e-17, 1e-5), (1, 1e-17, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1e-4), "neither")
+    check_voronoi((1, -1e-20, 1e-5), (1, 1e-20, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1e-5), "neither")
+    # First site excluded.
+    check_voronoi((1, -1e-6, 1.0049999999e-5), (1, 0, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1.005e-5), "first")
+    check_voronoi((1, -1.00105e-6, 1.0049999999e-5), (1, 0, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1.005e-5), "first")
+    check_voronoi((1, -1e-6, 1.005e-5), (1, 0, -1e-5),
+                  (1, -1, 0), (1, 1, 0), chord2(1.005e-5), "first")
+    check_voronoi((1, -1e-31, 1.005e-30), (1, 0, -1e-30),
+                  (1, -1, 0), (1, 1, 0), chord2(1.005e-30), "first")
+    # Symbolic-perturbation cases (sites exactly 60 deg from the edge
+    # midpoint; S1ChordAngle.fromLength2(1)).
+    check_voronoi((0, 1, 1), (1, 0, 1), (0, 1, 1), (1, 0, -1),
+                  1.0, "neither")
+    check_voronoi((0, 1, 1), (-1, 0, 1), (0, 1, 1), (-1, 0, -1),
+                  1.0, "second")
