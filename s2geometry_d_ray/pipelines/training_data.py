@@ -238,6 +238,16 @@ def ann_cosine_topk(sf_dir, k=5):
     return ann_topk(_emb(sf_dir), query_ids=range(10), k=k)
 
 
+def ann_ivf_topk(sf_dir, k=5):
+    """IVF ANN with full probing (nprobe == n_lists): exact results via
+    the inverted-file path, so the same SQL oracle applies; the scale
+    story (nprobe << n_lists pruning + recall tradeoff) is exercised in
+    tests/test_ann_ivf.py."""
+    from ..stages.ann import ivf_topk
+    return ivf_topk(_emb(sf_dir), query_ids=range(10), k=k,
+                    n_lists=8, nprobe=8)
+
+
 def embedding_dups(sf_dir):
     """Embedding-cosine near-dups via hyperplane LSH buckets (rows-only).
 
@@ -333,6 +343,7 @@ QUERIES = {
     "simhash_sketch": simhash_sketch,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_dups": embedding_dups,
     "doc_bytes": doc_bytes,
     "multimodal_decode_demo": multimodal_decode_demo,
@@ -354,6 +365,17 @@ ORACLE = {
         "SELECT lang, COUNT(*) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
         "GROUP BY lang"),
+    "ann_ivf_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(q.qe, e.embedding) AS score "
+        "FROM q, embeddings e WHERE e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+        "FROM s) "
+        "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r "
+        "WHERE rank <= 5"),
     "ann_cosine_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
         "FROM embeddings WHERE vec_id < 10), "

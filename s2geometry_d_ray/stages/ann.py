@@ -147,3 +147,153 @@ def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
                              "score": np.round(sims[ii[sel], jj[sel]], 6)})
 
     return ds.groupby("bucket").map_groups(rerank, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer -> per-vector list
+# assignment -> queries probe only the nprobe nearest lists.  The scale
+# path for similarity search: at 100 TB the corpus is partitioned by
+# list id (write_parquet partitioned on list_id), so a query touches
+# only nprobe/n_lists of the data; here the probe filter prunes batches
+# before the GEMM.
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample, n_lists, iters=10, seed=7):
+    """Small numpy k-means on a driver-side sample (the coarse
+    quantizer is a tiny model: n_lists x d)."""
+    rng = np.random.default_rng(seed)
+    sample = normalize_rows(sample.astype(np.float32))
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = assign == c
+            if sel.any():
+                cent[c] = sample[sel].mean(axis=0)
+        cent = normalize_rows(cent)
+    return cent
+
+
+class IVFAssign:
+    """map_batches stage: add list_id = nearest centroid."""
+
+    def __init__(self, centroids_ref):
+        self.cent = fetch(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = normalize_rows(_stack_embeddings(batch["embedding"]))
+        lists = (vecs @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+
+
+class IVFTopK:
+    """Partial top-k over only the PROBED lists: batches are filtered to
+    rows whose list_id is probed by at least one query before the GEMM,
+    then per-query masks keep each query inside its own probe set."""
+
+    def __init__(self, state_ref, k=5, exclude_self=True):
+        st = fetch(state_ref)
+        self.qids = st["query_ids"]
+        self.qmat = st["matrix"]
+        self.probes = st["probes"]          # (q, nprobe) list ids
+        self.k = k
+        self.exclude_self = exclude_self
+        self.probed_union = np.unique(self.probes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(batch["list_id"],
+                        value_set=pa.array(self.probed_union, pa.int64()))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        vecs = normalize_rows(_stack_embeddings(t["embedding"]))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        lists = t["list_id"].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ vecs.T                    # (q, n') pruned GEMM
+        # per-query probe mask
+        probe_mask = (self.probes[:, :, None]
+                      == lists[None, None, :]).any(axis=1)  # (q, n')
+        sims = np.where(probe_mask, sims, -np.inf)
+        if self.exclude_self:
+            sims = np.where(self.qids[:, None] == ids[None, :], -np.inf,
+                            sims)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = part[qi][np.isfinite(sims[qi, part[qi]])]
+            out_q.extend([int(self.qids[qi])] * len(cols))
+            out_v.extend(ids[cols].tolist())
+            out_s.extend(sims[qi, cols].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ivf_topk(embeddings_ds, query_ids, k=5, n_lists=16, nprobe=4,
+             sample_size=4096, concurrency=2):
+    """IVF approximate top-k: coarse-quantize on a sample, assign lists,
+    probe the nprobe nearest lists per query.  nprobe == n_lists
+    degenerates to exact brute force.  Returns pandas
+    (query_id, vec_id, rank)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..state.broadcast import broadcast
+
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    smat = np.stack([np.asarray(v, dtype=np.float32)
+                     for v in sample["embedding"]])
+    cent = _kmeans(smat, n_lists)
+    cent_ref = broadcast(cent)
+
+    qarr = pa.array(sorted(int(v) for v in query_ids), pa.int64())
+    qtbl = embeddings_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qarr)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qmat = normalize_rows(np.stack(
+        [np.asarray(v, dtype=np.float32) for v in qtbl["embedding"]]))
+    order = np.argsort(qtbl["vec_id"].to_numpy())
+    qmat = qmat[order]
+    qids = qtbl["vec_id"].to_numpy()[order]
+    nprobe = min(nprobe, len(cent))
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe] \
+        .astype(np.int64)
+    state_ref = broadcast({"query_ids": qids, "matrix": qmat,
+                           "probes": probes})
+
+    # Task-based stages with per-worker instance caches: two chained
+    # actor pools would reserve 2*concurrency CPUs and can deadlock a
+    # small session against the read stage (see stages/text.py note).
+    _cache: dict = {}
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        inst = _cache.get("assign")
+        if inst is None:
+            inst = IVFAssign(cent_ref)
+            _cache["assign"] = inst
+        return inst(batch)
+
+    def topk_fn(batch: pa.Table) -> pa.Table:
+        inst = _cache.get("topk")
+        if inst is None:
+            inst = IVFTopK(state_ref, k)
+            _cache["topk"] = inst
+        return inst(batch)
+
+    ds = embeddings_ds.map_batches(assign_fn, batch_format="pyarrow",
+                                   batch_size=8192)
+    partials = ds.map_batches(topk_fn, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    partials.sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True], inplace=True)
+    top = partials.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank"]].reset_index(drop=True)
