@@ -1,0 +1,183 @@
+"""Lax shapes + shape utilities — reimplements:
+
+  - S2LaxPolygonShape   (src/s2/s2lax_polygon_shape.d:77-210): closed
+    loops with degeneracies allowed (degenerate edges, sibling pairs,
+    1-/2-vertex loops, the 0-vertex "full" loop); interior on the left.
+  - S2LaxPolylineShape  (src/s2/s2lax_polyline_shape.d): open chain.
+  - get_reference_point (src/s2/shapeutil/get_reference_point.d):
+    unbalanced-vertex search via ContainsVertexQuery; all-balanced
+    shapes are empty unless they contain an empty (full) loop.
+  - contains_brute_force (src/s2/shapeutil/contains_brute_force.d):
+    crossing parity from the reference point.
+
+Shape protocol: num_edges(), edge(e) -> (v0, v1), dimension(),
+num_chains(), chain(i) -> (start, length)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .contains_vertex import ContainsVertexQuery
+from .predicates import ORIGIN, edge_or_vertex_crossing
+
+
+class LaxPolylineShape:
+    """Open polyline: n vertices, n-1 edges, dimension 1."""
+
+    def __init__(self, vertices):
+        self.vertices = np.asarray(vertices, dtype=np.float64) \
+            if len(vertices) else np.empty((0, 3))
+
+    def num_vertices(self):
+        return len(self.vertices)
+
+    def num_edges(self):
+        return max(0, len(self.vertices) - 1)
+
+    def edge(self, e):
+        return self.vertices[e], self.vertices[e + 1]
+
+    def dimension(self):
+        return 1
+
+    def num_chains(self):
+        return min(1, self.num_edges())
+
+    def chain(self, i):
+        assert i == 0
+        return (0, self.num_edges())
+
+
+class LaxPolygonShape:
+    """Closed loops, interior on the left, degeneracies allowed.
+
+    loops: list of (k,3) arrays; k==0 is the FULL loop; k==1 defines a
+    single degenerate edge; k==2 defines a sibling edge pair."""
+
+    def __init__(self, loops):
+        self.loops = [np.asarray(lp, dtype=np.float64).reshape(-1, 3)
+                      for lp in loops]
+        self._starts = []
+        start = 0
+        for lp in self.loops:
+            self._starts.append(start)
+            start += len(lp)
+        self._total = start
+
+    @classmethod
+    def from_polygon(cls, polygon):
+        return cls([lp.vertices for lp in polygon.loops])
+
+    def num_loops(self):
+        return len(self.loops)
+
+    def num_vertices(self):
+        return self._total
+
+    def num_loop_vertices(self, i):
+        return len(self.loops[i])
+
+    def loop_vertex(self, i, j):
+        return self.loops[i][j]
+
+    def num_edges(self):
+        return self._total
+
+    def edge(self, e):
+        # locate the loop containing flat edge index e
+        k = int(np.searchsorted(self._starts, e, side="right")) - 1
+        lp = self.loops[k]
+        j = e - self._starts[k]
+        return lp[j], lp[(j + 1) % len(lp)]
+
+    def chain_edge(self, i, j):
+        lp = self.loops[i]
+        return lp[j], lp[(j + 1) % len(lp)]
+
+    def dimension(self):
+        return 2
+
+    def has_interior(self):
+        return True
+
+    def num_chains(self):
+        return len(self.loops)
+
+    def chain(self, i):
+        return (self._starts[i], len(self.loops[i]))
+
+
+def _reference_point_at_vertex(shape, vtest):
+    """(found, contained): s2shapeutil get_reference_point.d:104-128."""
+    q = ContainsVertexQuery(vtest)
+    vt = tuple(float(v) for v in vtest)
+    for e in range(shape.num_edges()):
+        v0, v1 = shape.edge(e)
+        if tuple(float(x) for x in v0) == vt:
+            q.add_edge(v1, +1)
+        if tuple(float(x) for x in v1) == vt:
+            q.add_edge(v0, -1)
+    s = q.contains_sign()
+    if s == 0:
+        return False, False
+    return True, s > 0
+
+
+def get_reference_point(shape):
+    """(point, contained) for interior-on-left closed shapes
+    (get_reference_point.d:48-96)."""
+    origin = np.asarray(ORIGIN)
+    if shape.num_edges() == 0:
+        # full iff the shape contains any (empty) loop
+        return origin, shape.num_chains() > 0
+    v0 = shape.edge(0)[0]
+    found, contained = _reference_point_at_vertex(shape, v0)
+    if found:
+        return v0, contained
+    # find an unmatched edge by sorting edges against reversed edges
+    n = shape.num_edges()
+    edges = []
+    rev = []
+    for e in range(n):
+        a, b = shape.edge(e)
+        ta = tuple(float(v) for v in a)
+        tb = tuple(float(v) for v in b)
+        edges.append((ta, tb))
+        rev.append((tb, ta))
+    edges.sort()
+    rev.sort()
+    for i in range(n):
+        if edges[i] < rev[i]:
+            found, contained = _reference_point_at_vertex(
+                shape, np.array(edges[i][0]))
+            assert found
+            return np.array(edges[i][0]), contained
+        if rev[i] < edges[i]:
+            found, contained = _reference_point_at_vertex(
+                shape, np.array(rev[i][0]))
+            assert found
+            return np.array(rev[i][0]), contained
+    # all edges matched: empty unless some loop is the full loop
+    for i in range(shape.num_chains()):
+        if shape.chain(i)[1] == 0:
+            return origin, True
+    return origin, False
+
+
+def contains_brute_force(shape, focus):
+    """Point containment by crossing parity from the reference point
+    (contains_brute_force.d)."""
+    if shape.dimension() < 2:
+        return False
+    ref_pt, contained = get_reference_point(shape)
+    tf = tuple(float(v) for v in focus)
+    tr = tuple(float(v) for v in ref_pt)
+    if tr == tf:
+        return contained
+    inside = contained
+    for e in range(shape.num_edges()):
+        a, b = shape.edge(e)
+        if edge_or_vertex_crossing(tr, tf, tuple(float(v) for v in a),
+                                   tuple(float(v) for v in b)):
+            inside = not inside
+    return inside
