@@ -196,3 +196,26 @@ def expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, distance_rad):
             _expand_endpoint(u_hi, max_v, sin_dist),
             _expand_endpoint(v_lo, max_u, -sin_dist),
             _expand_endpoint(v_hi, max_u, sin_dist))
+
+
+def _cell_boundary_edges(cell):
+    import numpy as np
+    v = np.asarray(cell.vertices())
+    return v, v[[1, 2, 3, 0]]
+
+
+def cell_distance2(a, b):
+    """Squared chord distance between two cells (s2cell.d getDistance
+    (S2Cell) semantics): 0 when they touch/overlap, else the min
+    distance between their boundaries (vertex-to-edge both ways)."""
+    import numpy as np
+
+    from .edge import edge_distances2
+    if a.contains_cell(b) or b.contains_cell(a) \
+            or a.may_intersect_cell(b):
+        return 0.0
+    va, na = _cell_boundary_edges(a)
+    vb, nb = _cell_boundary_edges(b)
+    d1 = edge_distances2(va, vb, nb).min()
+    d2 = edge_distances2(vb, va, na).min()
+    return float(min(d1, d2))

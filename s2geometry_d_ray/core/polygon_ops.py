@@ -362,3 +362,35 @@ def polygon_area(poly) -> float:
     if poly is None:
         return 0.0
     return float(sum(loop_signed_area(v) for v in _oriented_rings(poly)))
+
+
+def initialize_to_snapped(polygon, snap_function=None, snap_level=None):
+    """Snap-rounded copy of a polygon (s2polygon.d initializeToSnapped):
+    runs the boundary through the S2Builder-lite pipeline with the given
+    snap function (or CellIdSnapFunction at snap_level)."""
+    from .builder import Builder, CellIdSnapFunction, IdentitySnapFunction
+    if snap_function is None:
+        snap_function = CellIdSnapFunction(snap_level) \
+            if snap_level is not None else IdentitySnapFunction(0.0)
+    b = Builder(snap_function)
+    b.add_polygon(polygon)
+    return b.build_polygon()
+
+
+def initialize_to_simplified(polygon, tolerance_rad):
+    """Simplified copy (s2polygon.d initializeToSimplified shape):
+    per-ring spherical Douglas-Peucker, then reassembly through the
+    builder so degenerate rings drop out."""
+    import numpy as np
+
+    from .builder import Builder, IdentitySnapFunction
+    from .snap import simplify_polyline
+    b = Builder(IdentitySnapFunction(0.0))
+    for lp in polygon.loops:
+        v = lp.vertices
+        closed = np.concatenate([v, v[:1]])
+        keep_idx = simplify_polyline(closed, tolerance_rad)  # indices
+        ring = closed[keep_idx][:-1]
+        if len(ring) >= 3:
+            b.add_loop(ring)
+    return b.build_polygon()

@@ -196,3 +196,51 @@ def test_overlap_fractions_exact_matches_raster():
     # disjoint
     fa, fb = overlap_fractions_exact(circle(0, 0, 4), circle(0, 40, 4))
     assert fa == 0.0 and fb == 0.0
+
+
+def test_initialize_to_snapped_and_simplified():
+    from s2geometry_d_ray.core.polygon_ops import (initialize_to_simplified,
+                                                   initialize_to_snapped)
+    a = circle(10, 20, 5, n=64)
+    s = initialize_to_snapped(a, snap_level=10)
+    assert s is not None
+    # snapped vertices are cell centers at level 10
+    import numpy as np
+    from s2geometry_d_ray.core import cellid as ci
+    from s2geometry_d_ray.core.cell import Cell
+    for v in s.loops[0].vertices:
+        leaf = ci.cellid_from_xyz(v[0:1], v[1:2], v[2:3])[0]
+        c = np.asarray(Cell(int(ci.parent(np.uint64(leaf), 10))).center())
+        assert np.allclose(v, c, rtol=0, atol=1e-15)
+    simp = initialize_to_simplified(a, 2e-3)
+    assert simp is not None
+    assert len(simp.loops[0].vertices) < 64
+    # area approximately preserved
+    from s2geometry_d_ray.core.polygon_ops import polygon_area
+    assert polygon_area(simp) == pytest.approx(polygon_area(a), rel=0.1)
+
+
+def test_cell_to_cell_distance():
+    import math
+
+    import numpy as np
+    from s2geometry_d_ray.core import cellid as ci
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.core.cell import Cell, cell_distance2
+
+    def cell_at(lat, lng, level):
+        x, y, z = coords.latlng_to_xyz(lat, lng)
+        leaf = ci.cellid_from_xyz(np.float64([x]), np.float64([y]),
+                                  np.float64([z]))[0]
+        return Cell(int(ci.parent(np.uint64(leaf), level)))
+
+    a = cell_at(10, 20, 8)
+    assert cell_distance2(a, a) == 0.0
+    # neighbor cells touch
+    nbrs = ci.edge_neighbors(np.uint64([a.id]))[0]
+    assert cell_distance2(a, Cell(int(nbrs[0]))) == 0.0
+    # far cell: distance close to the center separation minus radii
+    b = cell_at(10, 60, 8)
+    d = 2 * math.asin(0.5 * math.sqrt(cell_distance2(a, b)))
+    sep = math.radians(60 - 20) * math.cos(math.radians(10))
+    assert 0.5 * sep < d < sep
