@@ -111,9 +111,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     headline, n_join_rows = _timed_join()
     if scaling_mode:
-        # Best-of-3: the shared VM is noisy and the 16/32-CPU job is only
-        # a few seconds; the min is the standard steady-state estimate.
-        for _ in range(2):
+        # Best-of-5: the shared VM is noisy (co-tenant CPU steal makes
+        # the few-second wide run vary ~2x); the min is the standard
+        # steady-state estimate.
+        for _ in range(4):
             h2, _ = _timed_join()
             headline = min(headline, h2)
     timings["spatial_join"] = round(headline, 3)
