@@ -365,6 +365,25 @@ ORACLE = {
         "SELECT lang, COUNT(*) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
         "GROUP BY lang"),
+    "langid_pred": (
+        "WITH markers(lang, marker) AS (VALUES "
+        "('de','der'),('de','die'),('de','das'),('de','und'),"
+        "('de','ist'),('de','ein'),"
+        "('en','the'),('en','and'),('en','of'),('en','a'),('en','to'),"
+        "('en','in'),('en','is'),"
+        "('es','el'),('es','los'),('es','las'),('es','es'),('es','una'),"
+        "('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),"
+        "('fr','un')), "
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '\\s+')) AS tok FROM documents), "
+        "hits AS (SELECT t.doc_id, m.lang, COUNT(DISTINCT t.tok) AS n "
+        "FROM toks t JOIN markers m ON t.tok = m.marker "
+        "GROUP BY t.doc_id, m.lang), "
+        "best AS (SELECT doc_id, lang, n, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY n DESC, lang) AS rk FROM hits) "
+        "SELECT d.doc_id, COALESCE((SELECT b.lang FROM best b "
+        "WHERE b.doc_id = d.doc_id AND b.rk = 1), 'und') AS lang_pred "
+        "FROM documents d"),
     "ann_ivf_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
         "FROM embeddings WHERE vec_id < 10), "
