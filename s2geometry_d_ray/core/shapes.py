@@ -181,3 +181,85 @@ def contains_brute_force(shape, focus):
                                    tuple(float(v) for v in b)):
             inside = not inside
     return inside
+
+
+class PointVectorShape:
+    """A set of points: each point is a degenerate edge; dimension 0
+    (src/s2/s2point_vector_shape.d)."""
+
+    def __init__(self, points):
+        self.points = np.asarray(points, dtype=np.float64) \
+            if len(points) else np.empty((0, 3))
+
+    def num_edges(self):
+        return len(self.points)
+
+    def edge(self, e):
+        return self.points[e], self.points[e]
+
+    def dimension(self):
+        return 0
+
+    def num_chains(self):
+        return len(self.points)
+
+    def chain(self, i):
+        return (i, 1)
+
+
+class EdgeVectorShape:
+    """An arbitrary collection of independent edges; dimension 1
+    (src/s2/s2edge_vector_shape.d)."""
+
+    def __init__(self, edges=()):
+        self.edges = [(np.asarray(a, dtype=np.float64),
+                       np.asarray(b, dtype=np.float64))
+                      for a, b in edges]
+
+    def add(self, a, b):
+        self.edges.append((np.asarray(a, dtype=np.float64),
+                           np.asarray(b, dtype=np.float64)))
+
+    def num_edges(self):
+        return len(self.edges)
+
+    def edge(self, e):
+        return self.edges[e]
+
+    def dimension(self):
+        return 1
+
+    def num_chains(self):
+        return len(self.edges)
+
+    def chain(self, i):
+        return (i, 1)
+
+
+class LaxLoopShape(LaxPolygonShape):
+    """A single closed loop, interior on the left
+    (src/s2/s2lax_loop_shape.d)."""
+
+    def __init__(self, vertices):
+        super().__init__([vertices] if len(vertices) else [])
+
+
+class ShapeIndexRegion:
+    """Region adapter over a PolygonShapeIndex so an indexed polygon can
+    feed the coverer directly (src/s2/s2shape_index_region.d role)."""
+
+    def __init__(self, index):
+        self.index = index
+
+    def contains_cell(self, cell):
+        return self.index.polygon.contains_cell(cell)
+
+    def may_intersect_cell(self, cell):
+        return self.index.polygon.may_intersect_cell(cell)
+
+    def get_cap_bound(self):
+        return self.index.polygon.get_cap_bound()
+
+    def contains_point(self, p):
+        return bool(self.index.contains_points(
+            np.asarray(p, dtype=np.float64)[None, :])[0])

@@ -145,3 +145,50 @@ def test_lax_polyline():
     assert contains_brute_force(shape, np.asarray(ORIGIN)) is False
     empty = LaxPolylineShape([])
     assert empty.num_edges() == 0 and empty.num_chains() == 0
+
+
+def test_point_vector_shape():
+    from s2geometry_d_ray.core.shapes import PointVectorShape
+    p = pts((0, 0), (5, 5))
+    s = PointVectorShape(p)
+    assert s.num_edges() == 2 and s.dimension() == 0
+    v0, v1 = s.edge(1)
+    assert np.array_equal(v0, p[1]) and np.array_equal(v1, p[1])
+    assert s.num_chains() == 2 and s.chain(1) == (1, 1)
+
+
+def test_edge_vector_shape():
+    from s2geometry_d_ray.core.shapes import EdgeVectorShape
+    p = pts((0, 0), (0, 1), (1, 1), (2, 2))
+    s = EdgeVectorShape([(p[0], p[1])])
+    s.add(p[2], p[3])
+    assert s.num_edges() == 2 and s.dimension() == 1
+    v0, v1 = s.edge(1)
+    assert np.array_equal(v0, p[2]) and np.array_equal(v1, p[3])
+
+
+def test_lax_loop_shape_matches_loop():
+    from s2geometry_d_ray.core.shapes import LaxLoopShape
+    v = pts((0, 0), (0, 4), (4, 4), (4, 0))
+    s = LaxLoopShape(v)
+    assert s.num_loops() == 1 and s.num_edges() == 4
+    inside = pts((2, 2))[0]
+    assert contains_brute_force(s, inside)
+    assert not contains_brute_force(s, pts((10, 10))[0])
+
+
+def test_shape_index_region_feeds_coverer():
+    import math
+
+    from s2geometry_d_ray.core.coverer import RegionCoverer
+    from s2geometry_d_ray.core.shapeindex import PolygonShapeIndex
+    from s2geometry_d_ray.core.shapes import ShapeIndexRegion
+    from s2geometry_d_ray.core.loop import Loop
+    from s2geometry_d_ray.core.polygon import Polygon
+    poly = Polygon([Loop.make_regular(10, 20, math.radians(3.0), 16)])
+    region = ShapeIndexRegion(PolygonShapeIndex(poly))
+    cov = RegionCoverer(max_cells=8).get_covering(region)
+    ref = RegionCoverer(max_cells=8).get_covering(poly)
+    assert [int(c) for c in cov] == [int(c) for c in ref]
+    inside = pts((10, 20))[0]
+    assert region.contains_point(inside)
