@@ -152,3 +152,129 @@ class ClosestPointQuery:
             return self._select(seed_idx, target)
         cand_idx = np.unique(np.concatenate(cand + [seed_idx]))
         return self._select(cand_idx, target)
+
+
+# ---------------------------------------------------------------------------
+# Distance targets (src/s2/s2min_distance_targets.d): a query target that
+# is a point, an edge, or a cell.  Each provides the vectorized min
+# squared-chord distance from an array of points, its center, and an
+# angular radius (for candidate-cap pruning).
+# ---------------------------------------------------------------------------
+
+class PointTarget:
+    """s2min_distance_targets.d S2MinDistancePointTarget."""
+
+    def __init__(self, point):
+        self.point = np.asarray(point, dtype=np.float64)
+
+    def distance2(self, points):
+        return _chord2(points, self.point)
+
+    def center(self):
+        return self.point
+
+    def radius_rad(self):
+        return 0.0
+
+
+class EdgeTarget:
+    """s2min_distance_targets.d S2MinDistanceEdgeTarget."""
+
+    def __init__(self, a, b):
+        self.a = np.asarray(a, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+
+    def distance2(self, points):
+        from .edge import edge_distances2
+        return edge_distances2(points, self.a[None, :],
+                               self.b[None, :])[:, 0]
+
+    def center(self):
+        m = self.a + self.b
+        return m / np.linalg.norm(m)
+
+    def radius_rad(self):
+        import math
+        return math.acos(max(-1.0, min(1.0, float(self.a @ self.b)))) / 2
+
+
+class CellTarget:
+    """s2min_distance_targets.d S2MinDistanceCellTarget."""
+
+    def __init__(self, cell):
+        self.cell = cell
+
+    def distance2(self, points):
+        from .edge import edge_distances2
+        pts = np.atleast_2d(points)
+        v = np.asarray(self.cell.vertices())
+        nxt = v[[1, 2, 3, 0]]
+        d2 = edge_distances2(pts, v, nxt).min(axis=1)
+        inside = np.array([self.cell.contains_point(tuple(p))
+                           for p in pts])
+        d2[inside] = 0.0
+        return d2
+
+    def center(self):
+        return np.asarray(self.cell.center())
+
+    def radius_rad(self):
+        return self.cell.cap_bound().radius_radians()
+
+
+def _find_closest_points_to_target(self, target):
+    """Closest index points to an arbitrary distance target
+    (s2closest_point_query.d over S2MinDistanceTarget): seed an upper
+    bound from Hilbert neighbors of the target center, prune with a cap
+    expanded by the target's own radius, evaluate the target's exact
+    distance on the candidates."""
+    import math
+    n = len(self.index)
+    if n == 0:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+
+    def select(idxs):
+        d2 = target.distance2(self.index.points[idxs])
+        keep = np.ones(len(idxs), dtype=bool)
+        if self.max_distance2 is not None:
+            keep &= d2 <= self.max_distance2
+        if self.region is not None:
+            keep &= self._region_mask(idxs)
+        d2 = d2[keep]
+        data = self.index.data[idxs[keep]]
+        order = np.lexsort((data, d2))[:self.max_points]
+        return d2[order], data[order]
+
+    if self.use_brute_force or n <= MAX_BRUTE_FORCE_INDEX_SIZE:
+        return select(np.arange(n))
+    center = target.center()
+    k = self.max_points
+    leaf = ci.cellid_from_xyz(np.float64([center[0]]),
+                              np.float64([center[1]]),
+                              np.float64([center[2]]))[0]
+    pos = int(np.searchsorted(self.index.cells, leaf))
+    seed_idx = np.arange(max(0, pos - 2 * k), min(n, pos + 2 * k))
+    seed_d2 = np.sort(target.distance2(self.index.points[seed_idx]))
+    ub2 = float(seed_d2[k - 1]) if len(seed_d2) >= k else 4.0
+    if self.max_distance2 is not None:
+        ub2 = min(ub2, float(self.max_distance2))
+    if self.region is not None:
+        ub2 = 4.0 if self.max_distance2 is None \
+            else float(self.max_distance2)
+    ub_rad = 2.0 * math.asin(0.5 * math.sqrt(min(4.0, ub2)))
+    cap = Cap.from_center_angle(
+        tuple(center), min(math.pi, ub_rad + target.radius_rad()
+                           + 1e-12))
+    cov = RegionCoverer(max_cells=8).get_covering(cap)
+    cand = [seed_idx]
+    starts = np.searchsorted(self.index.cells, ci.range_min(cov))
+    ends = np.searchsorted(self.index.cells, ci.range_max(cov),
+                           side="right")
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if e > s:
+            cand.append(np.arange(s, e))
+    return select(np.unique(np.concatenate(cand)))
+
+
+ClosestPointQuery.find_closest_points_to_target = \
+    _find_closest_points_to_target

@@ -249,3 +249,53 @@ class TestBestFirstClosestEdge:
         x, y, z = coords.latlng_to_xyz(40.0, -10.0)
         idx.closest_edge(np.array([x, y, z]))
         assert idx._last_edges_evaluated < idx.n_edges / 2
+
+
+class TestDistanceTargets:
+    """s2min_distance_targets.d: point/edge/cell targets give the same
+    results via the pruned query as via brute force."""
+
+    def _index(self, n=2000, seed=13):
+        import numpy as np
+        from s2geometry_d_ray.core.knn import PointIndex
+        rng = np.random.default_rng(seed)
+        pts = rng.normal(size=(n, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        return PointIndex(pts[:, 0], pts[:, 1], pts[:, 2])
+
+    def test_edge_and_cell_targets_match_brute(self):
+        import numpy as np
+        from s2geometry_d_ray.core import cellid as ci
+        from s2geometry_d_ray.core.cell import Cell
+        from s2geometry_d_ray.core.knn import (CellTarget,
+                                               ClosestPointQuery,
+                                               EdgeTarget, PointTarget)
+        idx = self._index()
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            a = rng.normal(size=3); a /= np.linalg.norm(a)
+            b = a + 0.05 * rng.normal(size=3); b /= np.linalg.norm(b)
+            leaf = ci.cellid_from_xyz(a[0:1], a[1:2], a[2:3])[0]
+            cell = Cell(int(ci.parent(np.uint64(leaf), 6)))
+            for target in (PointTarget(a), EdgeTarget(a, b),
+                           CellTarget(cell)):
+                fast = ClosestPointQuery(idx, max_points=4) \
+                    .find_closest_points_to_target(target)
+                brute = ClosestPointQuery(idx, max_points=4,
+                                          use_brute_force=True) \
+                    .find_closest_points_to_target(target)
+                assert fast[1].tolist() == brute[1].tolist()
+                assert np.allclose(fast[0], brute[0], rtol=1e-12)
+
+    def test_point_target_matches_point_api(self):
+        import numpy as np
+        from s2geometry_d_ray.core.knn import (ClosestPointQuery,
+                                               PointTarget)
+        idx = self._index()
+        rng = np.random.default_rng(9)
+        p = rng.normal(size=3); p /= np.linalg.norm(p)
+        q = ClosestPointQuery(idx, max_points=5)
+        d2a, ida = q.find_closest_points(p)
+        d2b, idb = q.find_closest_points_to_target(PointTarget(p))
+        assert ida.tolist() == idb.tolist()
+        assert np.allclose(d2a, d2b)
