@@ -89,9 +89,18 @@ def langid_pred(sf_dir):
 
 
 def doc_fingerprints(sf_dir):
+    """Rolling polynomial fingerprints (min window hash, base 257 mod
+    2^61-1).  Oracle-checked: the same polynomial is evaluated in pure
+    SQL over ascii() bytes (hash values < 2^61 fit BIGINT, so the
+    output column is cast to int64 for the comparison)."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = tx.rolling_fingerprint(batch)
+        fp = out["fingerprint"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "fingerprint": pa.array(fp, pa.int64())})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tx.rolling_fingerprint, batch_format="pyarrow",
-        zero_copy_batch=True).select_columns(["doc_id", "fingerprint"])
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_sketch(sf_dir):
@@ -365,6 +374,7 @@ ORACLE = {
         "SELECT lang, COUNT(*) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents "
         "GROUP BY lang"),
+    "doc_fingerprints": 'WITH w AS (SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS p, text FROM documents WHERE length(text) >= 8), h AS (SELECT doc_id, (CAST(ascii(substr(text, p + 0, 1)) AS HUGEINT) * 74051159531521793::HUGEINT + CAST(ascii(substr(text, p + 1, 1)) AS HUGEINT) * 288136807515649::HUGEINT + CAST(ascii(substr(text, p + 2, 1)) AS HUGEINT) * 1121154893057::HUGEINT + CAST(ascii(substr(text, p + 3, 1)) AS HUGEINT) * 4362470401::HUGEINT + CAST(ascii(substr(text, p + 4, 1)) AS HUGEINT) * 16974593::HUGEINT + CAST(ascii(substr(text, p + 5, 1)) AS HUGEINT) * 66049::HUGEINT + CAST(ascii(substr(text, p + 6, 1)) AS HUGEINT) * 257::HUGEINT + CAST(ascii(substr(text, p + 7, 1)) AS HUGEINT) * 1::HUGEINT) % 2305843009213693951::HUGEINT AS hv FROM w) SELECT doc_id, CAST(MIN(hv) AS BIGINT) AS fingerprint FROM h GROUP BY doc_id UNION ALL SELECT doc_id, CAST(length(text) AS BIGINT) AS fingerprint FROM documents WHERE length(text) < 8',
     "langid_pred": (
         "WITH markers(lang, marker) AS (VALUES "
         "('de','der'),('de','die'),('de','das'),('de','und'),"
