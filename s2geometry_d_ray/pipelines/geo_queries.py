@@ -115,8 +115,10 @@ def geo_grid_tile_count(sf_dir):
 
 
 def geo_cell_encode(sf_dir):
-    """S2 leaf cell + level-12 ancestor + token per point (no SQL oracle —
-    Hilbert encode is S2-specific; invariants tested in tests/)."""
+    """S2 leaf cell + level-12 ancestor + token per point.  Oracle-checked:
+    the FULL geocode chain (trig -> face/uv -> quadratic st -> ij ->
+    Hilbert curve) is reproduced bit-exactly in DuckDB SQL by
+    _cell_encode_sql() below (recursive CTE over the 30 bit levels)."""
     def enc(batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -488,3 +490,93 @@ ORACLE["geo_snap_e6"] = (
     f"SELECT doc_id, CAST(ROUND(({GEO_LAT_EXPR}) * 1000000) AS BIGINT) "
     f"AS lat_e6, CAST(ROUND(({GEO_LON_EXPR}) * 1000000) AS BIGINT) "
     "AS lon_e6 FROM documents")
+
+
+def _cell_encode_sql() -> str:
+    """Full S2 leaf-cell geocode (latlng -> xyz -> face/uv -> quadratic st
+    -> ij -> Hilbert curve) as ONE DuckDB query — the SQL oracle for
+    geo_cell_encode, bit-identical to core/cellid.cellid_from_latlng.
+
+    The Hilbert walk is a recursive CTE over the 30 (i, j) bit levels
+    (MSB first), carrying the orientation state through the IJ_TO_POS /
+    POS_TO_ORIENTATION tables (s2coords.d:466-512) inlined as CASE arms.
+    Float stages replicate the kernel's exact op order (multiply by
+    reciprocal of the major axis, sqrt-based inverse quadratic, lround
+    via floor(x+0.5) under the [0, 2^30-1] clamp) so every double is
+    IEEE-identical between numpy and DuckDB."""
+    from ..core.coords import IJ_TO_POS, POS_TO_ORIENTATION
+    ij2pos = "CASE o*4 + ((i >> k) & 1) * 2 + ((j >> k) & 1) " + " ".join(
+        f"WHEN {o * 4 + ij} THEN {int(IJ_TO_POS[o][ij])}"
+        for o in range(4) for ij in range(4)) + " END"
+    # POS_TO_ORIENTATION = [1, 0, 0, 3]: orientation ^= table[pos]
+    assert POS_TO_ORIENTATION.tolist() == [1, 0, 0, 3]
+    newo = "CASE pos4v WHEN 0 THEN xor(o,1) WHEN 3 THEN xor(o,3) ELSE o END"
+    i64 = ("CAST(CASE WHEN {v} >= 9223372036854775808 "
+           "THEN {v} - 18446744073709551616 ELSE {v} END AS BIGINT)")
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id, radians({GEO_LAT_EXPR}) AS lat,
+         radians({GEO_LON_EXPR}) AS lon FROM documents
+), xyz AS (
+  SELECT doc_id, cos(lat)*cos(lon) AS x, cos(lat)*sin(lon) AS y,
+         sin(lat) AS z FROM pts
+), fc AS (
+  SELECT doc_id, x, y, z,
+    CASE WHEN abs(x) > abs(y)
+         THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0
+  FROM xyz
+), fc2 AS (
+  SELECT doc_id, x, y, z,
+    CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+         THEN f0 + 3 ELSE f0 END AS face FROM fc
+), uv AS (
+  SELECT doc_id, face,
+    (CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 WHEN 2 THEN -1.0
+               WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 ELSE -1.0 END)
+    * (CASE (CASE face WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 0
+                       WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 1 END)
+        WHEN 0 THEN x WHEN 1 THEN y ELSE z END)
+    * (1.0 / (CASE face % 3 WHEN 0 THEN x WHEN 1 THEN y ELSE z END)) AS u,
+    (CASE face WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN -1.0
+               WHEN 3 THEN 1.0 WHEN 4 THEN -1.0 ELSE -1.0 END)
+    * (CASE (CASE face WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
+                       WHEN 3 THEN 1 WHEN 4 THEN 0 ELSE 0 END)
+        WHEN 0 THEN x WHEN 1 THEN y ELSE z END)
+    * (1.0 / (CASE face % 3 WHEN 0 THEN x WHEN 1 THEN y ELSE z END)) AS v
+  FROM fc2
+), st AS (
+  SELECT doc_id, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(greatest(1.0 + 3.0*u, 0.0))
+         ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0*u, 0.0)) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(greatest(1.0 + 3.0*v, 0.0))
+         ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0*v, 0.0)) END AS t
+  FROM uv
+), ij AS (
+  SELECT doc_id, face,
+    CAST(greatest(0, least(1073741823,
+         floor(1073741824.0 * s - 0.5 + 0.5))) AS BIGINT) AS i,
+    CAST(greatest(0, least(1073741823,
+         floor(1073741824.0 * t - 0.5 + 0.5))) AS BIGINT) AS j
+  FROM st
+), hil AS (
+  SELECT doc_id, face, i, j, 29 AS k, face % 2 AS o,
+         CAST(0 AS HUGEINT) AS pos FROM ij
+  UNION ALL
+  SELECT doc_id, face, i, j, k - 1, {newo} AS o, pos * 4 + pos4v AS pos
+  FROM (SELECT doc_id, face, i, j, k, o, pos, {ij2pos} AS pos4v
+        FROM hil WHERE k >= 0)
+), fin AS (
+  SELECT doc_id,
+         CAST(face AS HUGEINT) * 2305843009213693952 + pos * 2 + 1 AS cid
+  FROM hil WHERE k = -1
+)
+SELECT doc_id, {i64.format(v='cid')} AS cell_id,
+  {i64.format(v='cl12')} AS cell_l12,
+  lower(lpad(to_hex(CAST(cid AS UBIGINT)), 16, '0')) AS token
+FROM (SELECT doc_id, cid,
+        cid - (cid % 137438953472) + 68719476736 AS cl12 FROM fin)
+"""
+
+
+ORACLE["geo_cell_encode"] = _cell_encode_sql()

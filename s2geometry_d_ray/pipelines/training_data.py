@@ -104,9 +104,17 @@ def doc_fingerprints(sf_dir):
 
 
 def simhash_sketch(sf_dir):
+    """64-bit SimHash per document.  Oracle-checked: the token hash is
+    DuckDB's md5_number_lower, so the whole sketch (tokenize -> per-bit
+    majority vote -> bit pack) is replayed exactly in SQL; output is the
+    int64 two's-complement view of the uint64 sketch on both sides."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = tx.simhash64(batch)
+        sh = out["simhash"].to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "simhash": pa.array(sh, pa.int64())})
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tx.simhash64, batch_format="pyarrow",
-        zero_copy_batch=True).select_columns(["doc_id", "simhash"])
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _LSH_BUCKET_CAP = 2000  # skew guard: pairs per bucket capped at ~2e6
@@ -285,7 +293,11 @@ def doc_bytes(sf_dir):
 
 def multimodal_decode_demo(sf_dir):
     """Runs the stubbed image-decode + feature actor stages over binary
-    payloads built from document text (rows-only; plumbing is the test)."""
+    payloads built from document text.  Oracle-checked: the stub decoder
+    derives (width, height) from md5 digest bytes 0/1 of the payload ==
+    DuckDB md5_number_upper's low bytes, replayed exactly in SQL — so the
+    whole actor-pool plumbing (schema, batching, chaining) is verified
+    end-to-end, not just row counts."""
     from ..stages.multimodal import FeatureExtract, ImageDecode
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -419,4 +431,39 @@ ORACLE = {
     "doc_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
         "AS n_bytes FROM documents"),
+    # SimHash replayed in SQL: token hash == md5_number_lower, 64 per-bit
+    # majority votes, HUGEINT bit pack, int64 two's-complement view.
+    "simhash_sketch": r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents) WHERE tok <> ''
+), bits AS (
+  SELECT t.doc_id, b.k,
+         SUM(CAST((md5_number_lower(t.tok) >> b.k) & 1 AS BIGINT)) AS ones,
+         COUNT(*) AS n
+  FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) b
+  GROUP BY t.doc_id, b.k
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n
+             THEN CAST(1 AS HUGEINT) << CAST(k AS INTEGER)
+             ELSE CAST(0 AS HUGEINT) END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN COALESCE(v, 0) >= 9223372036854775808
+       THEN COALESCE(v, 0) - 18446744073709551616
+       ELSE COALESCE(v, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+""",
+    # The stub decoder's (w, h) = 64 + digest_byte[0|1] % 192; digest
+    # bytes 0/1 are the low bytes of md5_number_upper (LE of bytes 0..8).
+    "multimodal_decode_demo": (
+        "SELECT doc_id AS payload_id, "
+        "CAST(64 + (md5_number_upper(text) & 255) % 192 AS INTEGER) "
+        "AS width, "
+        "CAST(64 + ((md5_number_upper(text) >> 8) & 255) % 192 AS INTEGER) "
+        "AS height, CAST(3 AS INTEGER) AS channels, TRUE AS decode_ok "
+        "FROM documents"),
 }

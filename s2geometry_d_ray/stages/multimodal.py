@@ -31,7 +31,9 @@ class ImageDecode:
         self.max_pixels = max_pixels
 
     def _fake_decode(self, payload: bytes):
-        h = hashlib.blake2b(payload, digest_size=8).digest()
+        # md5 digest bytes 0/1 == DuckDB md5_number_upper(payload) low
+        # bytes (LE), so the stub's output is SQL-oracle-checkable.
+        h = hashlib.md5(payload).digest()
         w = 64 + h[0] % 192
         hh = 64 + h[1] % 192
         return w, hh, 3

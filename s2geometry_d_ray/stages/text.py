@@ -338,23 +338,31 @@ class MinHasher:
         })
 
 
+def simhash_token_hash(tok: str) -> int:
+    """64-bit token hash for SimHash: md5 digest bytes [8:16] little-endian
+    — exactly DuckDB's md5_number_lower(tok), making the whole sketch
+    reproducible in the SQL oracle."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
+
+
 def simhash64(batch: pa.Table, col="text") -> pa.Table:
     """64-bit SimHash over word-unigram hashes.
 
-    Vectorized: Arrow tokenization, one blake2b per UNIQUE token in the
+    Vectorized: Arrow tokenization, one md5 per UNIQUE token in the
     batch, then per-doc per-bit tallies via 64 np.add.reduceat passes over
     the flattened token-hash stream (occurrence counts preserved — same
-    values as the scalar per-doc form)."""
+    values as the scalar per-doc form).  Token hash = md5_number_lower
+    (digest bytes [8:16] LE) so the sketch is SQL-oracle-checkable."""
     import pandas as pd
     flat, counts = _split_ws(batch[col])
     n_docs = len(counts)
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(flat):
         inv, uniq = pd.factorize(flat)
-        blake = hashlib.blake2b
+        md5 = hashlib.md5
         uh = np.fromiter(
-            (int.from_bytes(blake(str(t).encode(), digest_size=8).digest(),
-                            "little") for t in uniq),
+            (int.from_bytes(md5(str(t).encode()).digest()[8:16], "little")
+             for t in uniq),
             dtype=np.uint64, count=len(uniq))
         th = uh[inv]
         # (64, T) bit matrix, LSB-first: row k == bit k of the hash.

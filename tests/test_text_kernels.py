@@ -62,8 +62,8 @@ def _scalar_simhash(texts):
         toks = (t or "").split()
         if not toks:
             continue
-        hs = np.array([int.from_bytes(hashlib.blake2b(
-            tok.encode(), digest_size=8).digest(), "little")
+        hs = np.array([int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[8:16], "little")
             for tok in toks], dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
         bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
