@@ -76,6 +76,27 @@ _LOOKUP_POS_L = LOOKUP_POS.tolist()
 _LOOKUP_IJ_L = LOOKUP_IJ.tolist()
 
 
+def _build_lookup_pos8():
+    """8-bit encode table composed from two 4-bit LOOKUP_POS rounds,
+    vectorized over all 2^18 states: key (i8 << 10) | (j8 << 2) | o ->
+    (pos16 << 2) | o'.  Halves the gather rounds in from_face_ij (4
+    instead of 8) for the hot geocode path; 2 MiB, L2/L3 resident."""
+    s = np.arange(1 << (2 * 8 + 2), dtype=np.uint64)
+    i8 = (s >> np.uint64(10)) & np.uint64(255)
+    j8 = (s >> np.uint64(2)) & np.uint64(255)
+    o = s & np.uint64(3)
+    b1 = LOOKUP_POS[((i8 >> np.uint64(4)) << np.uint64(6))
+                    + ((j8 >> np.uint64(4)) << np.uint64(2)) + o]
+    b2 = LOOKUP_POS[((i8 & np.uint64(15)) << np.uint64(6))
+                    + ((j8 & np.uint64(15)) << np.uint64(2))
+                    + (b1 & np.uint64(3))]
+    pos = ((b1 >> np.uint64(2)) << np.uint64(8)) | (b2 >> np.uint64(2))
+    return (pos << np.uint64(2)) | (b2 & np.uint64(3))
+
+
+LOOKUP_POS8 = _build_lookup_pos8()
+
+
 # ---------------------------------------------------------------------------
 # Scalar fast paths (plain Python ints) for object-heavy callers like the
 # coverer's Cell class — ~50x cheaper than 1-element numpy arrays.
@@ -186,20 +207,21 @@ def _from_face_ij_same_scalar(face, i, j, same_face):
 def from_face_ij(face, i, j):
     """Leaf cell id from cube face and 30-bit (i, j). s2cell_id.d:995-1025.
 
-    Fully vectorized: 8 rounds of 4-bit table gathers over the whole batch.
-    """
+    Fully vectorized: 4 rounds of 8-bit table gathers over the whole
+    batch (LOOKUP_POS8 composes two 4-bit Hilbert steps, halving the
+    gather rounds of the classic 4-bit form)."""
     face = np.asarray(face, dtype=np.uint64)
     i = np.asarray(i, dtype=np.uint64)
     j = np.asarray(j, dtype=np.uint64)
     n = face << _U64(POS_BITS - 1)
     bits = face & _U64(SWAP_MASK)
-    mask = _U64((1 << LOOKUP_BITS) - 1)
-    for k in range(7, -1, -1):
-        ks = _U64(k * LOOKUP_BITS)
-        bits = bits + (((i >> ks) & mask) << _U64(LOOKUP_BITS + 2))
+    mask = _U64(255)
+    for k in (3, 2, 1, 0):
+        ks = _U64(k * 8)
+        bits = bits + (((i >> ks) & mask) << _U64(10))
         bits = bits + (((j >> ks) & mask) << _U64(2))
-        bits = LOOKUP_POS[bits]
-        n = n | ((bits >> _U64(2)) << _U64(k * 2 * LOOKUP_BITS))
+        bits = LOOKUP_POS8[bits]
+        n = n | ((bits >> _U64(2)) << _U64(k * 16))
         bits = bits & _U64(SWAP_MASK | INVERT_MASK)
     return n * _U64(2) + _ONE
 

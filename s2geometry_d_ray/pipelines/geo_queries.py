@@ -249,8 +249,10 @@ def s2_knn(sf_dir, k=5):
 
 
 def geo_polyline_ops(sf_dir):
-    """Polyline length/interpolate over nation-derived chains (rows-only;
-    semantics tested against closed-form values in tests)."""
+    """Polyline length/interpolate over nation-derived 3-vertex chains.
+    Oracle-checked: edge arc-angles, the half-length edge pick, and the
+    tangent-frame slerp of interpolate_at_distance (core/edge.py:82) are
+    replayed as IEEE-identical SQL in _polyline_ops_sql()."""
     import pandas as pd
     import ray.data as rd
     from ..core.polyline import Polyline
@@ -580,3 +582,70 @@ FROM (SELECT doc_id, cid,
 
 
 ORACLE["geo_cell_encode"] = _cell_encode_sql()
+
+# Polyline length + midpoint interpolation replayed in SQL: per-edge
+# arc angles (acos of clipped dots), target = half total length, edge
+# pick by running angle, then the exact tangent-frame slerp
+# out = cos(d)*A + sin(d)*normalize(cross(cross(A,B), A)) of
+# interpolate_at_distance — every double IEEE-identical to the kernel.
+ORACLE["geo_polyline_ops"] = r"""
+WITH base AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey * 37) % 120 - 60.0 AS DOUBLE) AS lat0,
+         CAST((n_nationkey * 73) % 300 - 150.0 AS DOUBLE) AS lon0
+  FROM nation
+), v AS (
+  SELECT n_nationkey,
+    cos(radians(lat0))*cos(radians(lon0)) AS axx,
+    cos(radians(lat0))*sin(radians(lon0)) AS axy,
+    sin(radians(lat0)) AS axz,
+    cos(radians(lat0+1.0))*cos(radians(lon0)) AS bxx,
+    cos(radians(lat0+1.0))*sin(radians(lon0)) AS bxy,
+    sin(radians(lat0+1.0)) AS bxz,
+    cos(radians(lat0+1.0))*cos(radians(lon0+1.0)) AS cxx,
+    cos(radians(lat0+1.0))*sin(radians(lon0+1.0)) AS cxy,
+    sin(radians(lat0+1.0)) AS cxz
+  FROM base
+), ang AS (
+  SELECT *,
+    acos(least(1.0, greatest(-1.0, axx*bxx + axy*bxy + axz*bxz))) AS ang1,
+    acos(least(1.0, greatest(-1.0, bxx*cxx + bxy*cxy + bxz*cxz))) AS ang2
+  FROM v
+), pick AS (
+  SELECT *,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN least(0.5*(ang1+ang2), ang1)
+         ELSE least(0.5*(ang1+ang2) - ang1, ang2) END AS d,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axx ELSE bxx END AS pax,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axy ELSE bxy END AS pay,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axz ELSE bxz END AS paz,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxx ELSE cxx END AS pbx,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxy ELSE cxy END AS pby,
+    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxz ELSE cxz END AS pbz
+  FROM ang
+), crossn AS (
+  SELECT *, pay*pbz - paz*pby AS nx, paz*pbx - pax*pbz AS ny,
+            pax*pby - pay*pbx AS nz FROM pick
+), tang AS (
+  SELECT *, ny*paz - nz*pay AS tx, nz*pax - nx*paz AS ty,
+            nx*pay - ny*pax AS tz FROM crossn
+), tnorm AS (
+  SELECT *, sqrt(tx*tx + ty*ty + tz*tz) AS tn FROM tang
+), outp AS (
+  SELECT *,
+    cos(d)*pax + sin(d)*(tx/tn) AS ox,
+    cos(d)*pay + sin(d)*(ty/tn) AS oy,
+    cos(d)*paz + sin(d)*(tz/tn) AS oz
+  FROM tnorm
+), fin AS (
+  SELECT n_nationkey, ang1 + ang2 AS length_rad,
+    ox / sqrt(ox*ox + oy*oy + oz*oz) AS fx,
+    oy / sqrt(ox*ox + oy*oy + oz*oz) AS fy,
+    oz / sqrt(ox*ox + oy*oy + oz*oz) AS fz
+  FROM outp
+)
+SELECT n_nationkey,
+  ROUND(length_rad, 12) AS length_rad,
+  ROUND(degrees(atan2(fz, sqrt(fx*fx + fy*fy))), 9) AS mid_lat,
+  ROUND(degrees(atan2(fy, fx)), 9) AS mid_lon
+FROM fin
+"""

@@ -249,6 +249,176 @@ def minhash_lsh_pairs(sf_dir, threshold=0.5):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_NDP_BUCKETS = 64  # shingle-hash partitions for the exact pair counter
+
+
+def near_dup_pairs_exact(sf_dir, threshold_bps=5000, shingle=3):
+    """EXACT n-gram-Jaccard near-dup pairs — the deterministic ground
+    truth the MinHash+LSH path approximates, as a fully distributed
+    inverted-index plan (no driver gather of the pair multiset):
+
+      docs -> (shingle_hash, doc_id, set_size) rows
+           -> bucket by shingle hash -> groupby(bucket).map_groups:
+              vectorized within-bucket co-occurrence partials (each
+              shared shingle contributes 1 to its doc pair)
+           -> groupby(doc_a, doc_b).sum -> integer threshold filter.
+
+    Jaccard is evaluated in EXACT integer arithmetic on both sides:
+    keep iff c * 10000 >= threshold_bps * (|A| + |B| - c), and
+    jaccard_bps = c * 10000 // (|A| + |B| - c), so the SQL oracle
+    (set ops over the shingle STRINGS — hashing is bijective w.h.p.,
+    identical answers unless a 64-bit collision) hash-matches.
+
+    Scale note: cost is sum(df^2) over shingle document frequencies;
+    the web-scale path adds a df cap / prefix filter before pairing,
+    which trades exactness for bounded work (documented, not default).
+
+    Both aggregations are BUCKETED map_groups (hash-partition on the
+    shingle, then on the pair) with vectorized pandas kernels inside:
+    a plain ray groupby(pair).aggregate here creates one micro-group
+    per candidate pair (~1M at sf0.1) and Ray's per-group Python loop
+    turns that into minutes — measured 18 min vs 8 s for this plan."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sets = tx._hash_tokens_batch(texts, n=shingle)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                           count=len(sets))
+        if lens.sum() == 0:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64())})
+        flat = np.concatenate([s for s in sets if len(s)]).view(np.int64)
+        return pa.table({
+            "sh": pa.array(flat, pa.int64()),
+            "bucket": pa.array((flat & 0x7FFFFFFF) % _NDP_BUCKETS,
+                               pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "size": pa.array(np.repeat(lens, lens), pa.int64()),
+        })
+
+    def bucket_partials(grp: pd.DataFrame) -> pd.DataFrame:
+        sh = grp["sh"].to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh = sh[order]
+        doc = grp["doc_id"].to_numpy()[order]
+        size = grp["size"].to_numpy()[order]
+        change = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(sh)]])
+        oa, ob, osa, osb = [], [], [], []
+        for k in np.flatnonzero(ends - starts >= 2).tolist():
+            d = doc[starts[k]:ends[k]]
+            s = size[starts[k]:ends[k]]
+            o = np.argsort(d, kind="stable")
+            d, s = d[o], s[o]
+            ia, ib = np.triu_indices(len(d), k=1)
+            oa.append(d[ia]); ob.append(d[ib])
+            osa.append(s[ia]); osb.append(s[ib])
+        if not oa:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "size_a": pd.Series([], dtype="int64"),
+                                 "size_b": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "pb": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"doc_a": np.concatenate(oa),
+                            "doc_b": np.concatenate(ob),
+                            "size_a": np.concatenate(osa),
+                            "size_b": np.concatenate(osb)})
+        # partial aggregation inside the bucket before the pair shuffle
+        out = out.groupby(["doc_a", "doc_b", "size_a", "size_b"],
+                          as_index=False).size().rename(
+                              columns={"size": "cnt"})
+        out["pb"] = ((out["doc_a"] * 1000003 + out["doc_b"])
+                     & 0x7FFFFFFF) % _NDP_BUCKETS
+        return out
+
+    def pair_totals(grp: pd.DataFrame) -> pd.DataFrame:
+        agg = grp.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            c=("cnt", "sum"), sa=("size_a", "min"), sb=("size_b", "min"))
+        c = agg["c"].to_numpy()
+        u = agg["sa"].to_numpy() + agg["sb"].to_numpy() - c
+        keep = c * 10000 >= threshold_bps * u
+        kept = agg[keep]
+        return pd.DataFrame({
+            "doc_a": kept["doc_a"].to_numpy(),
+            "doc_b": kept["doc_b"].to_numpy(),
+            "jaccard_bps": (c[keep] * 10000
+                            // np.maximum(1, u[keep])).astype(np.int64),
+        })
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=8192)
+    partials = rows.groupby("bucket").map_groups(
+        bucket_partials, batch_format="pandas")
+    out = partials.groupby("pb").map_groups(
+        pair_totals, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def near_dup_clusters_exact(sf_dir, threshold_bps=5000):
+    """Connected components over the EXACT near-dup pair set (union-find
+    on the provably small verified pair list; oracle = recursive-CTE
+    transitive closure over the same SQL pair query)."""
+    pairs = near_dup_pairs_exact(sf_dir, threshold_bps=threshold_bps)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    docs = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64"),
+                         "cluster_id": pd.Series(
+                             [find(d) for d in docs], dtype="int64")})
+
+
+def embedding_dups_exact(sf_dir, threshold=0.4):
+    """EXACT embedding-cosine near-dup pairs: blocked all-pairs scan —
+    the corpus streams in blocks, each block does ONE matmul against the
+    broadcast normalized matrix (ray.put once), emitting id pairs with
+    cosine >= threshold.  O(n^2 / p) distributed brute force: the
+    deterministic baseline the LSH path (embedding_dups) approximates.
+    At larger n the broadcast side becomes block-vs-block tiling; the
+    pair OUTPUT stays small for any sane threshold."""
+    import ray
+
+    emb = _emb(sf_dir)
+    df = emb.to_pandas()
+    ids = df["vec_id"].to_numpy()
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids, En))
+
+    def block(batch: pa.Table) -> pa.Table:
+        rids, Rn = ray.get(ref)
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        B = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        Bn = B.astype(np.float64)
+        Bn /= np.linalg.norm(Bn, axis=1, keepdims=True)
+        S = Bn @ Rn.T
+        ri, ci = np.nonzero((S >= threshold)
+                            & (bid[:, None] < rids[None, :]))
+        return pa.table({
+            "vec_id_a": pa.array(bid[ri], pa.int64()),
+            "vec_id_b": pa.array(rids[ci], pa.int64()),
+        })
+
+    out = emb.map_batches(block, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
 def ann_cosine_topk(sf_dir, k=5):
     """Brute-force cosine top-k for queries vec_id < 10 (ranks only, so
     the float comparison with the DuckDB oracle is exact-int)."""
@@ -356,6 +526,9 @@ def near_dup_clusters(sf_dir, threshold=0.35):
 QUERIES = {
     "dedup_exact": dedup_exact,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_pairs_exact": near_dup_pairs_exact,
+    "near_dup_clusters_exact": near_dup_clusters_exact,
+    "embedding_dups_exact": embedding_dups_exact,
     "token_counts": token_counts,
     "text_quality": text_quality,
     "lang_stats": lang_stats,
@@ -369,6 +542,28 @@ QUERIES = {
     "doc_bytes": doc_bytes,
     "multimodal_decode_demo": multimodal_decode_demo,
 }
+
+# Shared CTE chain for the exact near-dup oracles: tokenize (Python
+# str.split semantics), 3-word shingle strings, distinct per doc, set
+# sizes, and pairwise co-occurrence counts.
+_NDP_CTES = r"""toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM toks)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+_NDP_SQL = "WITH " + _NDP_CTES + "\n"
 
 ORACLE = {
     "dedup_exact": (
@@ -457,6 +652,37 @@ SELECT d.doc_id,
        ELSE COALESCE(v, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sh USING (doc_id)
 """,
+    # Exact Jaccard ground truth over shingle STRINGS (the engine uses
+    # 64-bit shingle hashes — identical answers w.h.p.); the integer
+    # threshold & bps arithmetic matches the engine exactly.
+    "near_dup_pairs_exact": _NDP_SQL + """
+SELECT doc_a, doc_b,
+  CAST(c * 10000 // (na.n + nb.n - c) AS BIGINT) AS jaccard_bps
+FROM co JOIN sizes na ON na.doc_id = co.doc_a
+        JOIN sizes nb ON nb.doc_id = co.doc_b
+WHERE c * 10000 >= 5000 * (na.n + nb.n - c)
+""",
+    "near_dup_clusters_exact": "WITH RECURSIVE " + _NDP_CTES + """,
+pairs AS (
+  SELECT doc_a, doc_b FROM co
+  JOIN sizes na ON na.doc_id = co.doc_a
+  JOIN sizes nb ON nb.doc_id = co.doc_b
+  WHERE c * 10000 >= 5000 * (na.n + nb.n - c)
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  WHERE e.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+""",
+    "embedding_dups_exact": (
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
     # The stub decoder's (w, h) = 64 + digest_byte[0|1] % 192; digest
     # bytes 0/1 are the low bytes of md5_number_upper (LE of bytes 0..8).
     "multimodal_decode_demo": (
