@@ -144,7 +144,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in ["q1_pricing_summary", "q5_nation_revenue", "events_hourly",
                  "events_sessions", "dedup_exact", "token_counts",
                  "ann_cosine_topk", "geo_knn", "geo_grid_tile_count",
-                 "minhash_lsh_pairs"]:
+                 "minhash_lsh_pairs", "near_dup_pairs_exact",
+                 "geo_cell_encode", "simhash_sketch"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "to_pandas"):

@@ -16,9 +16,21 @@ reference cases):
   - degenerate edges collapse; layers assemble Graph edges into
     Polygon (leftmost-turn ring walk) or Polyline (input order).
 
-Not covered (documented gaps vs the reference): undirected edge
-handling, simplify_edge_chains, the full min-edge-vertex-separation
-rerouting, and idempotency detection."""
+Also covered:
+  - undirected edges (``s2builder.d:180`` EdgeType.UNDIRECTED): each
+    input edge contributes both directions to the graph (sibling
+    pairs, ``s2builder.d:1669-1680``); the polyline layer stitches
+    chains allowing reversal;
+  - simplify_edge_chains (``s2builder.d:446-450``): maximal chains
+    through interior degree-(1,1) vertices are simplified with the
+    spherical Douglas-Peucker simplifier under the snap_radius
+    tolerance; forced vertices (junctions, endpoints) are preserved,
+    and a conservative post-check reverts any chain whose simplified
+    edges would introduce a crossing with another chain (the
+    reference avoids this by construction inside its simplifier).
+
+Not covered (documented gaps vs the reference): the full
+min-edge-vertex-separation rerouting and idempotency detection."""
 
 from __future__ import annotations
 
@@ -105,10 +117,128 @@ class Graph:
         self.input_edge_ids = list(input_edge_ids)
 
 
+def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
+    """simplify_edge_chains (s2builder.d:446-450): collapse chains of
+    interior degree-(1 in, 1 out) vertices using the spherical
+    Douglas-Peucker simplifier at the snap-radius tolerance.
+
+    Guarantees kept from the reference: forced vertices (chain ends,
+    junctions, vertices with in-degree != 1 or out-degree != 1) never
+    move or disappear; every removed vertex lies within tolerance_rad
+    of the simplified chain; merged output edges carry the union of
+    their constituent input-edge ids (lists).  New-crossing avoidance
+    is a conservative POST-check here (the reference builds it into
+    its simplifier): any chain whose simplified edges would cross
+    another chain's edges is reverted to its unsimplified form."""
+    from .snap import simplify_polyline
+
+    m = len(g.edges)
+    if m == 0:
+        return g
+    out_deg = {}
+    in_deg = {}
+    out_edge = {}
+    for idx, (u, v) in enumerate(g.edges):
+        out_deg[u] = out_deg.get(u, 0) + 1
+        in_deg[v] = in_deg.get(v, 0) + 1
+        out_edge.setdefault(u, []).append(idx)
+
+    def forced(v):
+        return in_deg.get(v, 0) != 1 or out_deg.get(v, 0) != 1
+
+    visited = [False] * m
+    chains = []  # (vertex_id_seq, input_id_list_per_edge)
+
+    def walk(e0):
+        seq = [g.edges[e0][0], g.edges[e0][1]]
+        ids = [g.input_edge_ids[e0]]
+        visited[e0] = True
+        while not forced(seq[-1]) and seq[-1] != seq[0]:
+            nxt = out_edge[seq[-1]][0]
+            if visited[nxt]:
+                break
+            visited[nxt] = True
+            seq.append(g.edges[nxt][1])
+            ids.append(g.input_edge_ids[nxt])
+        chains.append((seq, ids))
+
+    for e0 in range(m):
+        if not visited[e0] and forced(g.edges[e0][0]):
+            walk(e0)
+    for e0 in range(m):  # remaining pure cycles: anchor arbitrarily
+        if not visited[e0]:
+            walk(e0)
+
+    def flat_ids(ids):
+        out = []
+        for i in ids:
+            out.extend(i if isinstance(i, list) else [i])
+        return out
+
+    simplified = []
+    for seq, ids in chains:
+        pts = g.vertices[np.array(seq)]
+        keep = simplify_polyline(pts, tolerance_rad)
+        if len(keep) == len(seq):
+            simplified.append((seq, [list(flat_ids([i])) for i in ids],
+                               False))
+            continue
+        new_seq = [seq[k] for k in keep]
+        # distribute the merged input ids over the surviving edges
+        new_ids = []
+        for a, b in zip(keep[:-1], keep[1:]):
+            new_ids.append(flat_ids(ids[a:b]))
+        simplified.append((new_seq, new_ids, True))
+
+    # conservative new-crossing check between different chains
+    def chain_edges(entry):
+        seq, ids, _ = entry
+        return [(seq[k], seq[k + 1]) for k in range(len(seq) - 1)]
+
+    changed = [k for k, e in enumerate(simplified) if e[2]]
+    for k in changed:
+        bad = False
+        for (u1, v1) in chain_edges(simplified[k]):
+            a1, b1 = g.vertices[u1], g.vertices[v1]
+            for k2, other in enumerate(simplified):
+                if k2 == k:
+                    continue
+                for (u2, v2) in chain_edges(other):
+                    if len({u1, v1, u2, v2}) < 4:
+                        continue
+                    if crossing_sign(tuple(a1), tuple(b1),
+                                     tuple(g.vertices[u2]),
+                                     tuple(g.vertices[v2])) > 0:
+                        bad = True
+                        break
+                if bad:
+                    break
+            if bad:
+                break
+        if bad:  # revert this chain to its unsimplified form
+            seq, ids = chains[k]
+            simplified[k] = (seq, [flat_ids([i]) for i in ids], False)
+
+    edges = []
+    out_ids = []
+    used = set()
+    for seq, ids, _ in simplified:
+        for (u, v), eid in zip(
+                ((seq[k], seq[k + 1]) for k in range(len(seq) - 1)), ids):
+            edges.append((u, v))
+            out_ids.append(eid)
+            used.add(u)
+            used.add(v)
+    return Graph(g.vertices, edges, out_ids)
+
+
 class Builder:
-    def __init__(self, snap_function=None, split_crossing_edges=False):
+    def __init__(self, snap_function=None, split_crossing_edges=False,
+                 edge_type="directed", simplify_edge_chains=False):
         self.snap = snap_function or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
+        self.edge_type = edge_type
+        self.simplify_edge_chains = simplify_edge_chains
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
 
     # -- input ---------------------------------------------------------
@@ -208,9 +338,18 @@ class Builder:
         edges = []
         out_ids = []
         for (a, b), iid in zip(snapped, input_ids):
-            edges.append((site_for(a), site_for(b)))
+            u, v = site_for(a), site_for(b)
+            edges.append((u, v))
             out_ids.append(iid)
-        return Graph(verts, edges, out_ids)
+            if self.edge_type == "undirected":
+                # sibling pair (s2builder.d:1669-1680): undirected input
+                # edges are represented as both directions, same input id
+                edges.append((v, u))
+                out_ids.append(iid)
+        g = Graph(verts, edges, out_ids)
+        if self.simplify_edge_chains and self.snap.snap_radius > 0:
+            g = simplify_graph(g, self.snap.snap_radius)
+        return g
 
     def build_polygon(self):
         """Assemble a Polygon from the snapped directed edges
@@ -228,16 +367,30 @@ class Builder:
 
     def build_polyline(self):
         """Assemble one polyline following input-edge order
-        (s2polyline_layer.d), degenerate snapped edges dropped."""
+        (s2polyline_layer.d), degenerate snapped edges dropped.  With
+        undirected edges each sibling pair is consumed once, in
+        whichever direction extends the current chain."""
         g = self.build_graph()
+        undirected = self.edge_type == "undirected"
         chain: list[int] = []
-        for (u, v) in g.edges:
+        used_ids: set = set()
+        for (u, v), iid in zip(g.edges, g.input_edge_ids):
             if u == v:
                 continue
+            if undirected:
+                # sibling pairs share their input id(s): use each
+                # undirected edge once, in the direction that extends
+                # the chain
+                key = tuple(sorted(iid)) if isinstance(iid, list) else iid
+                if key in used_ids:
+                    continue
+                used_ids.add(key)
             if not chain:
                 chain = [u, v]
             elif chain[-1] == u:
                 chain.append(v)
+            elif undirected and chain[-1] == v:
+                chain.append(u)
             else:
                 chain.extend([u, v])
         return np.array([g.vertices[k] for k in chain]) \

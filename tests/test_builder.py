@@ -132,3 +132,71 @@ def test_graph_input_edge_ids():
     g = b.build_graph()
     assert sorted(g.input_edge_ids) == [0, 0, 1, 1]
     assert len(g.vertices) == 5  # 4 endpoints + shared intersection
+
+
+def test_simplify_edge_chains_polyline():
+    """s2builder.d:446-450 semantics: a noisy near-straight chain
+    simplifies under the snap-radius tolerance; endpoints stay, every
+    removed vertex lies within tolerance of the simplified chain."""
+    from s2geometry_d_ray.core.edge import edge_distances2
+    tol = math.radians(0.2)
+    t = np.linspace(0, 1, 41)
+    lats = 10.0 + 5.0 * t + 0.05 * np.sin(20 * np.pi * t)  # jitter << tol
+    lngs = 20.0 + 5.0 * t
+    pts = np.stack([ll(a, b) for a, b in zip(lats, lngs)])
+    b = bu.Builder(bu.IdentitySnapFunction(tol), simplify_edge_chains=True)
+    b.add_polyline(pts)
+    out = b.build_polyline()
+    assert 2 <= len(out) < 41
+    assert np.allclose(out[0], pts[0]) and np.allclose(out[-1], pts[-1])
+    # every input vertex within tol of some simplified edge
+    a = out[:-1]
+    c = out[1:]
+    d2 = edge_distances2(pts, a, c).min(axis=1)
+    d = 2 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(d2)))
+    assert d.max() <= tol + 1e-9
+
+
+def test_simplify_preserves_junctions():
+    """Vertices where chains meet (degree != (1,1)) are forced and
+    survive simplification."""
+    tol = math.radians(1.0)
+    b = bu.Builder(bu.IdentitySnapFunction(tol), simplify_edge_chains=True)
+    j = ll(10, 10)
+    # three nearly-straight chains radiating from one junction
+    for dlat, dlng in [(4, 0), (0, 4), (-4, -4)]:
+        chain = np.stack([ll(10 + dlat * f, 10 + dlng * f)
+                          for f in (0.0, 0.33, 0.66, 1.0)])
+        b.add_polyline(chain)
+    g = b.build_graph()
+    # junction vertex must still exist and keep out-degree 3
+    d2 = ((g.vertices - j) ** 2).sum(axis=1)
+    jid = int(np.argmin(d2))
+    assert math.sqrt(float(d2[jid])) <= 1e-9
+    assert sum(1 for (u, v) in g.edges if u == jid) == 3
+    # interior jitter-free vertices were eliminated
+    assert len(g.edges) == 3
+
+
+def test_undirected_polyline_reversed_edges():
+    """s2builder.d:180 EdgeType.UNDIRECTED: edges added in arbitrary
+    orientation still stitch into one chain."""
+    p = [ll(0, 0), ll(0, 1), ll(0, 2), ll(0, 3)]
+    b = bu.Builder(bu.IdentitySnapFunction(0.0), edge_type="undirected")
+    b.add_edge(p[0], p[1])
+    b.add_edge(p[2], p[1])   # reversed
+    b.add_edge(p[2], p[3])
+    out = b.build_polyline()
+    assert len(out) == 4
+    assert np.allclose(out[0], p[0]) and np.allclose(out[-1], p[3])
+
+
+def test_undirected_graph_sibling_pairs():
+    """Undirected edges appear as sibling pairs with shared input ids
+    (s2builder.d:1669-1680)."""
+    b = bu.Builder(bu.IdentitySnapFunction(0.0), edge_type="undirected")
+    b.add_edge(ll(0, 0), ll(0, 1))
+    g = b.build_graph()
+    assert len(g.edges) == 2
+    assert g.edges[0] == (g.edges[1][1], g.edges[1][0])
+    assert g.input_edge_ids[0] == g.input_edge_ids[1]
