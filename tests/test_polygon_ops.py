@@ -244,3 +244,85 @@ def test_cell_to_cell_distance():
     d = 2 * math.asin(0.5 * math.sqrt(cell_distance2(a, b)))
     sep = math.radians(60 - 20) * math.cos(math.radians(10))
     assert 0.5 * sep < d < sep
+
+
+def test_bug4_union_nonempty():
+    # s2polygon_test.d:1039-1076 — multi-loop input whose loop 1 edge 1
+    # crosses edge 3; union must not come out empty.
+    a = _poly_from_xyz([[
+        (-0.10667065556339718, -0.80657502337947207, 0.58142764201754193),
+        (-0.10667064691895933, -0.80657502457251051, 0.58142764194845853),
+        (-0.10667064691930939, -0.80657502457246333, 0.58142764194845975),
+        (-0.10667065556339746, -0.80657502337947395, 0.5814276420175396),
+        (-0.10667077559567185, -0.80657589269604968, 0.58142641405029793),
+        (-0.10667077059539463, -0.80657589232162286, 0.58142641548708696),
+        (-0.10667063827452879, -0.80657502576554818, 0.58142764187937435),
+        (-0.10667063169531328, -0.80657498170361974, 0.58142770421053058),
+        (-0.10667064898418178, -0.8065749793175444, 0.58142770434869739),
+    ], [
+        (-0.10667064691897719, -0.80657502457250896, 0.58142764194845697),
+        (-0.10667063827452879, -0.80657502576554818, 0.58142764187937435),
+        (-0.10667064691861985, -0.80657502457255736, 0.58142764194845586),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.10667064691896312, -0.80657502457251107, 0.58142764194845697),
+        (-0.10667064691896297, -0.80657502457251007, 0.58142764194845853),
+        (-0.10667064033974753, -0.80657498051058207, 0.58142770427961399),
+        (-0.10667064076268165, -0.80657498045444342, 0.58142770427989865),
+        (-0.10667051785242875, -0.80657409963649807, 0.58142894872603923),
+        (-0.1066707756642685, -0.80657588679775971, 0.58142642222003538),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None
+
+
+def test_bug5_union_nonempty():
+    # s2polygon_test.d:1078-1111 — loop 0 edge 8 crosses loop 1 edge 0.
+    a = _poly_from_xyz([[
+        (-0.10574444273627338, -0.80816264611829447, 0.57938868667714882),
+        (-0.10574444845633162, -0.80816268110163325, 0.57938863683652475),
+        (-0.10574444825833453, -0.80816268112970524, 0.57938863683350494),
+        (-0.10574444253827629, -0.80816264614636646, 0.57938868667412902),
+        (-0.10574408792844124, -0.80816047738475361, 0.57939177648757634),
+        (-0.10574408812643833, -0.80816047735668162, 0.57939177649059592),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.1057440881264381, -0.80816047735668017, 0.57939177649059825),
+        (-0.10574408802743954, -0.80816047737071606, 0.57939177648908835),
+        (-0.10574408812649677, -0.8081604773570521, 0.57939177649006868),
+        (-0.10574408812649701, -0.80816047735705354, 0.57939177649006646),
+        (-0.10574408802703171, -0.80816047737077379, 0.57939177648908202),
+        (-0.10574408792844098, -0.80816047738475194, 0.57939177648757834),
+        (-0.10574408792838257, -0.80816047738438168, 0.5793917764881058),
+        (-0.1057440879283823, -0.80816047738438002, 0.57939177648810791),
+        (-0.10574407993470979, -0.80816042849578984, 0.57939184613891748),
+        (-0.10574408013270691, -0.80816042846771807, 0.57939184614193739),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None
+
+
+def test_bug6_union_nonempty():
+    # s2polygon_test.d:1113-1146 — loop 0 edge 0 crosses loop 1 edge 4.
+    a = _poly_from_xyz([[
+        (-0.10618849949725141, -0.80552159562437586, 0.58297423747304822),
+        (-0.10618849959636036, -0.80552159561106063, 0.58297423747339361),
+        (-0.10618849949722192, -0.80552159562415893, 0.5829742374733532),
+        (-0.10618834540082922, -0.80552043435619214, 0.58297587011440333),
+        (-0.10618834559910612, -0.80552043432999554, 0.58297587011448437),
+        (-0.10618849969546933, -0.80552159559774539, 0.58297423747373922),
+        (-0.10618849969546955, -0.80552159559774716, 0.582974237473737),
+        (-0.10618849969549882, -0.80552159559796233, 0.58297423747343424),
+        (-0.10618849959710704, -0.80552159561096182, 0.58297423747339394),
+        (-0.10618849949725161, -0.80552159562437742, 0.58297423747304589),
+    ]])
+    b = _poly_from_xyz([[
+        (-0.10618856154870562, -0.80552206324314812, 0.58297358004005528),
+        (-0.10618849949722212, -0.80552159562416048, 0.58297423747335086),
+        (-0.10618849969549901, -0.80552159559796388, 0.58297423747343191),
+        (-0.10618856174698249, -0.8055220632169513, 0.58297358004013622),
+        (-0.10618857104277038, -0.80552213326985989, 0.58297348155149287),
+        (-0.10618857084449349, -0.80552213329605649, 0.58297348155141182),
+    ]])
+    c = po.boolean_union(a, b)
+    assert c is not None
