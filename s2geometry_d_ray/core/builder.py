@@ -117,6 +117,102 @@ class Graph:
         self.input_edge_ids = list(input_edge_ids)
 
 
+def process_graph_options(g: Graph, degenerate_edges="keep",
+                          duplicate_edges="keep", sibling_pairs="keep"):
+    """GraphOptions edge post-processing (s2builder.d:1943-2029).
+
+    degenerate_edges: 'discard' drops every a->a edge; 'discard_excess'
+    drops a->a edges only at vertices that also have non-degenerate
+    incident edges (collapsed loops survive as one point); 'keep'.
+    duplicate_edges: 'merge' collapses identical directed edges and
+    unions their input-edge ids; 'keep'.
+    sibling_pairs: 'discard' removes matched (a,b)/(b,a) pairs
+    (multiplicity-aware; degenerate edges have no sibling);
+    'discard_excess' keeps one pair if the result would otherwise be
+    empty; 'require' raises if any non-degenerate edge lacks a sibling;
+    'create' adds missing reverse edges with an empty id set; 'keep'.
+    Per the reference, any discarding option merges the ids of
+    duplicate edges first so the choice of survivor is immaterial."""
+    edges = list(g.edges)
+    ids = [i if isinstance(i, list) else [i] for i in g.input_edge_ids]
+
+    def is_degen(e):
+        return e[0] == e[1]
+
+    # -- degenerate edges ---------------------------------------------
+    if degenerate_edges == "discard":
+        kept = [(e, i) for e, i in zip(edges, ids) if not is_degen(e)]
+        edges, ids = [e for e, _ in kept], [i for _, i in kept]
+    elif degenerate_edges == "discard_excess":
+        non_degen_vertices = {v for e in edges if not is_degen(e)
+                              for v in e}
+        kept = [(e, i) for e, i in zip(edges, ids)
+                if not is_degen(e) or e[0] not in non_degen_vertices]
+        edges, ids = [e for e, _ in kept], [i for _, i in kept]
+
+    discarding = (sibling_pairs in ("discard", "discard_excess")
+                  or duplicate_edges == "merge")
+    if discarding:
+        # union duplicate-edge ids (reference: labels merge even when
+        # all copies are kept)
+        merged: dict = {}
+        for e, i in zip(edges, ids):
+            merged.setdefault(e, []).extend(i)
+        if duplicate_edges == "merge":
+            edges = list(merged.keys())
+            ids = [sorted(set(merged[e])) for e in edges]
+        else:
+            ids = [sorted(set(merged[e])) for e in edges]
+
+    # -- sibling pairs ------------------------------------------------
+    if sibling_pairs in ("discard", "discard_excess"):
+        from collections import Counter
+        cnt = Counter(e for e in edges if not is_degen(e))
+        remove = {}
+        for e in list(cnt):
+            sib = (e[1], e[0])
+            if e < sib and cnt.get(sib, 0):
+                k = min(cnt[e], cnt[sib])
+                remove[e] = k
+                remove[sib] = k
+        out_e, out_i = [], []
+        taken: dict = {}
+        for e, i in zip(edges, ids):
+            if not is_degen(e) and taken.get(e, 0) < remove.get(e, 0):
+                taken[e] = taken.get(e, 0) + 1
+                continue
+            out_e.append(e)
+            out_i.append(i)
+        if sibling_pairs == "discard_excess" and not out_e and edges:
+            e = edges[0]
+            sib = (e[1], e[0])
+            out_e = [e, sib]
+            out_i = [ids[0], ids[edges.index(sib)]
+                     if sib in edges else ids[0]]
+        edges, ids = out_e, out_i
+    elif sibling_pairs == "require":
+        from collections import Counter
+        cnt = Counter(e for e in edges if not is_degen(e))
+        for e in cnt:
+            if cnt[(e[1], e[0])] < cnt[e] and (e[1], e[0]) != e:
+                if cnt.get((e[1], e[0]), 0) < cnt[e]:
+                    raise ValueError(f"edge {e} has no sibling "
+                                     "(SiblingPairs.REQUIRE)")
+    elif sibling_pairs == "create":
+        from collections import Counter
+        cnt = Counter(e for e in edges if not is_degen(e))
+        for e, k in list(cnt.items()):
+            sib = (e[1], e[0])
+            missing = k - cnt.get(sib, 0)
+            for _ in range(max(0, missing)):
+                edges.append(sib)
+                ids.append([])  # created edges carry no input ids
+            if missing > 0:
+                cnt[sib] = cnt.get(sib, 0) + missing
+
+    return Graph(g.vertices, edges, ids)
+
+
 def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
     """simplify_edge_chains (s2builder.d:446-450): collapse chains of
     interior degree-(1 in, 1 out) vertices using the spherical

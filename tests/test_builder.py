@@ -200,3 +200,49 @@ def test_undirected_graph_sibling_pairs():
     assert len(g.edges) == 2
     assert g.edges[0] == (g.edges[1][1], g.edges[1][0])
     assert g.input_edge_ids[0] == g.input_edge_ids[1]
+
+
+def test_graph_options_degenerate_edges():
+    """s2builder.d:1943 DegenerateEdges semantics."""
+    g = bu.Graph(np.eye(3), [(0, 0), (0, 1), (2, 2)], [0, 1, 2])
+    d = bu.process_graph_options(g, degenerate_edges="discard")
+    assert d.edges == [(0, 1)]
+    # vertex 0 touches a non-degenerate edge -> its a->a goes; the
+    # isolated collapsed loop at vertex 2 survives
+    e = bu.process_graph_options(g, degenerate_edges="discard_excess")
+    assert e.edges == [(0, 1), (2, 2)]
+    k = bu.process_graph_options(g, degenerate_edges="keep")
+    assert len(k.edges) == 3
+
+
+def test_graph_options_duplicate_merge():
+    g = bu.Graph(np.eye(3), [(0, 1), (0, 1), (1, 2)], [0, 1, 2])
+    m = bu.process_graph_options(g, duplicate_edges="merge")
+    assert sorted(m.edges) == [(0, 1), (1, 2)]
+    by_edge = dict(zip(m.edges, m.input_edge_ids))
+    assert by_edge[(0, 1)] == [0, 1]  # merged provenance
+    assert by_edge[(1, 2)] == [2]
+
+
+def test_graph_options_sibling_pairs():
+    """s2builder.d:2029 SiblingPairs: matched pairs discard; degenerate
+    edges pass through; REQUIRE raises; CREATE adds reverses."""
+    g = bu.Graph(np.eye(3), [(0, 1), (1, 0), (1, 2), (2, 2)],
+                 [0, 1, 2, 3])
+    d = bu.process_graph_options(g, sibling_pairs="discard")
+    assert sorted(d.edges) == [(1, 2), (2, 2)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bu.process_graph_options(g, sibling_pairs="require")
+    c = bu.process_graph_options(g, sibling_pairs="create")
+    assert sorted(c.edges).count((2, 1)) == 1
+    by = {e: i for e, i in zip(c.edges, c.input_edge_ids)}
+    assert by[(2, 1)] == []  # created edge carries no input ids
+
+
+def test_graph_options_discard_excess_keeps_one_pair():
+    g = bu.Graph(np.eye(2), [(0, 1), (1, 0)], [0, 1])
+    d = bu.process_graph_options(g, sibling_pairs="discard")
+    assert d.edges == []
+    e = bu.process_graph_options(g, sibling_pairs="discard_excess")
+    assert sorted(e.edges) == [(0, 1), (1, 0)]
