@@ -214,12 +214,24 @@ def _assemble(edges, snap):
 
 def _rings_to_polygon(rings):
     """Interior-on-left rings -> repo Polygon (parity containment makes
-    depth bookkeeping unnecessary; CW rings are holes by area sign)."""
+    depth bookkeeping unnecessary; CW rings are holes by area sign).
+
+    Sliver rings whose mean width (|area| / perimeter) is below the
+    snap radius are discarded — the reference's vertex_merge_radius
+    collapses such needles during snapping (s2polygon.d:747,
+    s2polygon_test.d 'incredibly thin triangle' case)."""
     loops = []
     for v in rings:
         if len(v) < 3:
             continue
-        depth = 0 if loop_signed_area(v) >= 0 else 1
+        area = loop_signed_area(v)
+        nxt = np.roll(v, -1, axis=0)
+        d = np.linalg.norm(nxt - v, axis=1)
+        perimeter = float((2.0 * np.arcsin(
+            np.minimum(1.0, 0.5 * d))).sum())
+        if abs(area) < SNAP_RADIUS * max(perimeter, 1e-30):
+            continue
+        depth = 0 if area >= 0 else 1
         loops.append(Loop(v, depth=depth))
     if not loops:
         return None
@@ -241,6 +253,22 @@ def _dedup_directed(sub):
     return out
 
 
+def _shares_edges(a0, a1, b0, b1):
+    """True if any edge of a coincides with an edge of b (either
+    direction) under snap-radius vertex merging."""
+    snap = _SnapMap()
+    ea = set()
+    for k in range(len(a0)):
+        u, v = snap.snap(a0[k]), snap.snap(a1[k])
+        if u != v:
+            ea.add((u, v))
+    for k in range(len(b0)):
+        u, v = snap.snap(b0[k]), snap.snap(b1[k])
+        if u != v and ((u, v) in ea or (v, u) in ea):
+            return True
+    return False
+
+
 def boolean_op(op: str, a: Polygon, b: Polygon):
     """op in {'union','intersection','difference'}; returns a Polygon or
     None (empty result).  Semantics follow s2polygon.d:766-905."""
@@ -251,7 +279,18 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     b0, b1 = _edges_of(rb)
     pairs = _crossing_pairs(a0, a1, b0, b1)
 
-    if not pairs:
+    if not pairs and _shares_edges(a0, a1, b0, b1):
+        # Adjacent polygons (shared or reversed-shared edges, no proper
+        # crossings — e.g. two triangles sharing an edge): the fast
+        # containment path below cannot merge/cancel the seam; fall
+        # through to the split/classify/assemble path, whose
+        # pre-cancellation of reversed-shared sub-edges handles it.
+        pairs = []
+        force_main = True
+    else:
+        force_main = False
+
+    if not pairs and not force_main:
         # no proper crossings: decide by containment of representatives
         a_in_b = b.contains_point(tuple(a0[0]))
         b_in_a = a.contains_point(tuple(b0[0]))
@@ -285,6 +324,24 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
         cross_b.setdefault(j, []).append(x)
     sub_a = _split_edges(a0, a1, cross_a, snap)
     sub_b = _split_edges(b0, b1, cross_b, snap)
+
+    if op in ("union", "intersection"):
+        # Pre-cancel matched reversed-shared sub-edges (adjacency
+        # seams): their midpoints lie ON the other boundary, so
+        # midpoint classification is arbitrary and could keep exactly
+        # one of the pair, leaving a dangling seam in the assembly.
+        # A seam bounds neither the union nor the intersection.
+        from collections import Counter
+        ca = Counter(sub_a)
+        cb = Counter(sub_b)
+        for e in list(ca):
+            rev = (e[1], e[0])
+            k = min(ca[e], cb.get(rev, 0))
+            if k:
+                ca[e] -= k
+                cb[rev] -= k
+        sub_a = list(ca.elements())
+        sub_b = list(cb.elements())
 
     in_b = _classify(sub_a, snap, b)
     in_a = _classify(sub_b, snap, a)
@@ -341,19 +398,38 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     return result
 
 
-def boolean_union(a, b):
-    """s2polygon.d initializeToUnion."""
-    return boolean_op("union", a, b)
+def _maybe_snap(result, snap_function):
+    if result is None or snap_function is None:
+        return result
+    return initialize_to_snapped(result, snap_function=snap_function)
 
 
-def boolean_intersection(a, b):
-    """s2polygon.d initializeToIntersection."""
-    return boolean_op("intersection", a, b)
+def boolean_union(a, b, snap_function=None):
+    """s2polygon.d initializeToUnion (optional snap function applied to
+    the constructed boundary, e.g. IntLatLngSnapFunction(0) for E0)."""
+    return _maybe_snap(boolean_op("union", a, b), snap_function)
 
 
-def boolean_difference(a, b):
-    """s2polygon.d initializeToDifference."""
-    return boolean_op("difference", a, b)
+def boolean_intersection(a, b, snap_function=None):
+    """s2polygon.d initializeToIntersection(+SnapFunction)."""
+    return _maybe_snap(boolean_op("intersection", a, b), snap_function)
+
+
+def boolean_difference(a, b, snap_function=None):
+    """s2polygon.d initializeToDifference(+SnapFunction)."""
+    return _maybe_snap(boolean_op("difference", a, b), snap_function)
+
+
+def boolean_symmetric_difference(a, b):
+    """s2polygon.d initializeToSymmetricDifference, by composition:
+    (A \\ B) union (B \\ A)."""
+    ab = boolean_difference(a, b)
+    ba = boolean_difference(b, a)
+    if ab is None:
+        return ba
+    if ba is None:
+        return ab
+    return boolean_union(ab, ba)
 
 
 def polygon_area(poly) -> float:

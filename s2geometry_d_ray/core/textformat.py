@@ -84,21 +84,34 @@ def make_polyline(text):
 
 
 def make_polygon(text):
-    """';'-separated loops; loop 0 shell, rest holes at depth 1.
+    """';'-separated loops with NESTING-INFERRED depths (the reference's
+    initNested semantics): a loop's depth = number of other loops that
+    contain it, so multi-shell polygons ('A; B' with disjoint A, B)
+    parse as two depth-0 shells, and a loop inside a shell is a hole.
 
     Loops are normalized to CCW (S2Loop.normalize semantics: invert when
     the enclosed area exceeds 2*pi) — the xor-of-parities containment
-    model stores holes as CCW rings distinguished by depth."""
+    model stores rings as CCW distinguished by depth."""
+    from .loop import Loop as _Loop
     from .measures import loop_signed_area
-    loops = []
-    for i, chunk in enumerate(t for t in text.split(";") if t.strip()):
-        lp = make_loop(chunk, depth=0 if i == 0 else 1)
+    rings = []
+    for chunk in (t for t in text.split(";") if t.strip()):
+        lp = make_loop(chunk, depth=0)
         if lp is None:
             continue
-        if loop_signed_area(lp.vertices) < 0:  # CW ring -> reverse
-            lp = Loop(lp.vertices[::-1], depth=lp.depth)
-        loops.append(lp)
-    assert loops, text
+        v = lp.vertices
+        if loop_signed_area(v) < 0:  # CW ring -> reverse
+            v = v[::-1]
+        rings.append(v)
+    assert rings, text
+    loops = []
+    for i, v in enumerate(rings):
+        depth = 0
+        for j, other in enumerate(rings):
+            if i != j and _Loop(other, depth=0).contains_point(
+                    tuple(v[0])):
+                depth += 1
+        loops.append(_Loop(v, depth=depth))
     return Polygon(loops)
 
 

@@ -1,0 +1,168 @@
+"""The reference's S2PolygonTestBase.Operations table
+(test/s2/s2polygon_test.d:721-880): five lat-lng fixture pairs with the
+expected boundary of a&b, a|b, a\\b and a^b, compared with the same
+1e-4 rad tolerance (the expected intersections were computed in lat-lng
+space, the engine computes geodesics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_d_ray.core import polygon_ops as po
+from s2geometry_d_ray.core.textformat import make_polygon
+
+MAX_ERROR = 1e-4  # radians, s2polygon_test.d:729
+
+
+def _poly(text):
+    return make_polygon(text) if text.strip() else None
+
+
+def _rings(poly):
+    if poly is None:
+        return []
+    return [lp.vertices for lp in poly.loops]
+
+
+def _ring_matches(r1, r2, tol):
+    """Cyclic match: same vertex count and some rotation (either
+    direction) puts every vertex within tol."""
+    if len(r1) != len(r2):
+        return False
+    n = len(r1)
+    for r2d in (r2, r2[::-1]):
+        for shift in range(n):
+            rot = np.roll(r2d, shift, axis=0)
+            d = np.linalg.norm(r1 - rot, axis=1)
+            ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * d))
+            if ang.max() <= tol:
+                return True
+    return False
+
+
+def _boundary_near(pa, pb, tol=MAX_ERROR):
+    ra, rb = _rings(pa), _rings(pb)
+    if len(ra) != len(rb):
+        return False
+    used = [False] * len(rb)
+    for r1 in ra:
+        hit = False
+        for k, r2 in enumerate(rb):
+            if not used[k] and _ring_matches(r1, r2, tol):
+                used[k] = True
+                hit = True
+                break
+        if not hit:
+            return False
+    return True
+
+
+# (a, b, a_and_b, a_or_b, a_minus_b, a_xor_b) — s2polygon_test.d:721-828
+CASES = [
+    # Two triangles that share an edge.
+    (
+        "4:2, 3:1, 3:3;",
+        "3:1, 2:2, 3:3;",
+        "",
+        "4:2, 3:1, 2:2, 3:3;",
+        "4:2, 3:1, 3:3;",
+        "4:2, 3:1, 2:2, 3:3;",
+    ),
+    # Two vertical bars and a horizontal bar connecting them.
+    (
+        "0:0, 0:2, 3:2, 3:0;   0:3, 0:5, 3:5, 3:3;",
+        "1:1, 1:4, 2:4, 2:1;",
+        "1:1, 1:2, 2:2, 2:1;   1:3, 1:4, 2:4, 2:3;",
+        "0:0, 0:2, 1:2, 1:3, 0:3, 0:5, 3:5, 3:3, 2:3, 2:2, 3:2, 3:0;",
+        "0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0;   "
+        "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3;",
+        "0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0;   "
+        "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3;   "
+        "1:2, 1:3, 2:3, 2:2",
+    ),
+    # Two vertical bars and two horizontal bars.
+    (
+        "1:88, 1:93, 2:93, 2:88;   -1:88, -1:93, 0:93, 0:88;",
+        "-2:89, -2:90, 3:90, 3:89;   -2:91, -2:92, 3:92, 3:91;",
+        "1:89, 1:90, 2:90, 2:89;   1:91, 1:92, 2:92, 2:91;   "
+        "-1:89, -1:90, 0:90, 0:89;   -1:91, -1:92, 0:92, 0:91;",
+        "-1:88, -1:89, -2:89, -2:90, -1:90, -1:91, -2:91, -2:92, -1:92, "
+        "-1:93, 0:93, 0:92, 1:92, 1:93, 2:93, 2:92, 3:92, 3:91, 2:91, "
+        "2:90, 3:90, 3:89, 2:89, 2:88, 1:88, 1:89, 0:89, 0:88;   "
+        "0:90, 0:91, 1:91, 1:90;",
+        "1:88, 1:89, 2:89, 2:88;   1:90, 1:91, 2:91, 2:90;   "
+        "1:92, 1:93, 2:93, 2:92;   -1:88, -1:89, 0:89, 0:88;   "
+        "-1:90, -1:91, 0:91, 0:90;   -1:92, -1:93, 0:93, 0:92;",
+        "1:88, 1:89, 2:89, 2:88;   -1:88, -1:89, 0:89, 0:88;   "
+        "1:90, 1:91, 2:91, 2:90;   -1:90, -1:91, 0:91, 0:90;   "
+        "1:92, 1:93, 2:93, 2:92;   -1:92, -1:93, 0:93, 0:92;   "
+        "-2:89, -2:90, -1:90, -1:89;   -2:91, -2:92, -1:92, -1:91;   "
+        "0:89, 0:90, 1:90, 1:89;   0:91, 0:92, 1:92, 1:91;   "
+        "2:89, 2:90, 3:90, 3:89;   2:91, 2:92, 3:92, 3:91;",
+    ),
+    # Two interlocking square doughnuts.
+    (
+        "-1:-93, -1:-89, 3:-89, 3:-93;   0:-92, 0:-90, 2:-90, 2:-92;",
+        "-3:-91, -3:-87, 1:-87, 1:-91;   -2:-90, -2:-88, 0:-88, 0:-90;",
+        "-1:-91, -1:-90, 0:-90, 0:-91;   0:-90, 0:-89, 1:-89, 1:-90;",
+        "-1:-93, -1:-91, -3:-91, -3:-87, 1:-87, 1:-89, 3:-89, 3:-93;   "
+        "0:-92, 0:-91, 1:-91, 1:-90, 2:-90, 2:-92;   "
+        "-2:-90, -2:-88, 0:-88, 0:-89, -1:-89, -1:-90;",
+        "-1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, "
+        "1:-90, 1:-89, 3:-89, 3:-93;   "
+        "-1:-90, -1:-89, 0:-89, 0:-90;",
+        "-1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, "
+        "1:-90, 1:-89, 3:-89, 3:-93;   "
+        "-3:-91, -3:-87, 1:-87, 1:-89, 0:-89, 0:-88, "
+        "-2:-88, -2:-90, -1:-90, -1:-91;   "
+        "-1:-90, -1:-89, 0:-89, 0:-90;   "
+        "1:-91, 0:-91, 0:-90, 1:-90;",
+    ),
+    # An incredibly thin triangle intersecting a square, such that the
+    # two intersection points of the triangle with the square are
+    # identical: the exterior needle collapses under the vertex merge
+    # radius and only the square (with one extra vertex) survives.
+    (
+        "10:44, 10:46, 12:46, 12:44;",
+        "11:45, 89:45.00000000000001, 90:45;",
+        "",
+        "10:44, 10:46, 12:46, 12:45.001774937, 12:44;",
+        "10:44, 10:46, 12:46, 12:45.001774937, 12:44;",
+        "10:44, 10:46, 12:46, 12:45.001774937, 12:44;",
+    ),
+]
+
+
+@pytest.mark.parametrize("case_idx", range(len(CASES)))
+def test_operations_case(case_idx):
+    a_txt, b_txt, and_txt, or_txt, minus_txt, xor_txt = CASES[case_idx]
+    a = _poly(a_txt)
+    b = _poly(b_txt)
+
+    got_and = po.boolean_intersection(a, b)
+    assert _boundary_near(got_and, _poly(and_txt)), \
+        f"case {case_idx} a&b mismatch"
+    got_or = po.boolean_union(a, b)
+    assert _boundary_near(got_or, _poly(or_txt)), \
+        f"case {case_idx} a|b mismatch"
+    got_minus = po.boolean_difference(a, b)
+    assert _boundary_near(got_minus, _poly(minus_txt)), \
+        f"case {case_idx} a-b mismatch"
+    got_xor = po.boolean_symmetric_difference(a, b)
+    assert _boundary_near(got_xor, _poly(xor_txt)), \
+        f"case {case_idx} a^b mismatch"
+
+
+def test_intersection_snap_function():
+    """s2polygon_test.d:881 IntersectionSnapFunction: the intersection
+    point snaps to integer lat/lng (E0)."""
+    from s2geometry_d_ray.core.builder import IntLatLngSnapFunction
+    a = make_polygon("0:0, 0:10, 1:10, 1:0")
+    b = make_polygon("0:0, 0:10, 3:0")
+    got = po.boolean_intersection(a, b,
+                                  snap_function=IntLatLngSnapFunction(0))
+    exp = make_polygon("0:0, 0:10, 1:7, 1:0")
+    assert _boundary_near(got, exp, tol=1e-12)
