@@ -83,6 +83,13 @@ def _oriented_rings(poly: Polygon):
     for lp in poly.loops:
         v = lp.vertices
         s = loop_signed_area(v)
+        if abs(s) >= 2.0 * math.pi - 1e-9:
+            # Half-sphere ring: the area sign does not indicate which
+            # side is enclosed — trust the stored orientation (Loop
+            # convention: interior on the left; fixture hemispheres are
+            # always shells, constructed rings arrive region-on-left).
+            rings.append(np.asarray(v, dtype=np.float64))
+            continue
         want_ccw = (lp.depth % 2) == 0
         if (s < 0) == want_ccw:
             v = v[::-1]
@@ -253,20 +260,14 @@ def _dedup_directed(sub):
     return out
 
 
-def _shares_edges(a0, a1, b0, b1):
-    """True if any edge of a coincides with an edge of b (either
-    direction) under snap-radius vertex merging."""
+def _shares_vertices(a0, b0):
+    """True if any vertex of a coincides with a vertex of b under
+    snap-radius merging.  Polygons that touch at shared vertices (or
+    shared edges) can overlap without any PROPER edge crossing — the
+    fast containment path is unsound for them."""
     snap = _SnapMap()
-    ea = set()
-    for k in range(len(a0)):
-        u, v = snap.snap(a0[k]), snap.snap(a1[k])
-        if u != v:
-            ea.add((u, v))
-    for k in range(len(b0)):
-        u, v = snap.snap(b0[k]), snap.snap(b1[k])
-        if u != v and ((u, v) in ea or (v, u) in ea):
-            return True
-    return False
+    na = {snap.snap(p) for p in a0}
+    return any(snap.snap(p) in na for p in b0)
 
 
 def boolean_op(op: str, a: Polygon, b: Polygon):
@@ -279,12 +280,13 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     b0, b1 = _edges_of(rb)
     pairs = _crossing_pairs(a0, a1, b0, b1)
 
-    if not pairs and _shares_edges(a0, a1, b0, b1):
-        # Adjacent polygons (shared or reversed-shared edges, no proper
-        # crossings — e.g. two triangles sharing an edge): the fast
-        # containment path below cannot merge/cancel the seam; fall
-        # through to the split/classify/assemble path, whose
-        # pre-cancellation of reversed-shared sub-edges handles it.
+    if not pairs and _shares_vertices(a0, b0):
+        # Adjacent/touching polygons (shared vertices or edges, no
+        # proper crossings — e.g. two triangles sharing an edge, or the
+        # reference's cross/overlap fixtures that meet only at shared
+        # vertices): the fast containment path below cannot see the
+        # overlap; fall through to the split/classify/assemble path,
+        # whose reversed-seam pre-cancellation handles shared edges.
         pairs = []
         force_main = True
     else:
@@ -432,12 +434,67 @@ def boolean_symmetric_difference(a, b):
     return boolean_union(ab, ba)
 
 
+def _polygon_perimeter(poly) -> float:
+    total = 0.0
+    for lp in poly.loops:
+        v = lp.vertices
+        nxt = np.roll(v, -1, axis=0)
+        d = np.linalg.norm(nxt - v, axis=1)
+        total += float((2.0 * np.arcsin(np.minimum(1.0, 0.5 * d))).sum())
+    return total
+
+
+def _area_tol(a, b) -> float:
+    """Area uncertainty of a constructed boolean result: snap noise
+    sweeps at most ~snap_radius along every boundary edge, so the
+    tolerance scales with total perimeter — tight enough to resolve
+    the reference's 2.7e-12 sr pole triangles, loose enough for
+    hemisphere-scale fixtures whose perimeter-driven noise is ~1e-12."""
+    per = _polygon_perimeter(a) + _polygon_perimeter(b)
+    return max(1e-14, 4.0 * SNAP_RADIUS * per)
+
+
+def contains_polygon(a, b) -> bool:
+    """a ⊇ b (s2polygon.d contains(S2Polygon)): evaluated through the
+    constructed intersection — a contains b iff area(a ∩ b) == area(b)
+    up to the snap tolerance.  None means the empty polygon."""
+    if b is None:
+        return True
+    if a is None:
+        return False
+    area_b = polygon_area(b)
+    inter = boolean_intersection(a, b)
+    area_i = polygon_area(inter) if inter is not None else 0.0
+    return area_i >= area_b - _area_tol(a, b)
+
+
+def intersects_polygon(a, b) -> bool:
+    """Interiors of a and b intersect (s2polygon.d intersects)."""
+    if a is None or b is None:
+        return False
+    inter = boolean_intersection(a, b)
+    return inter is not None and polygon_area(inter) > _area_tol(a, b)
+
+
 def polygon_area(poly) -> float:
-    """Steradian area of a parity polygon: sum of interior-on-left ring
-    signed areas."""
+    """Steradian area of a parity polygon: (sum of the rings' LEFT-side
+    areas) mod 4*pi.  The left-area of an interior-on-left ring is
+    s if s >= 0 else s + 4*pi; the mod identity holds for any xor
+    composition (shell+hole doughnut: A + (4*pi - h) ≡ A - h), and
+    unlike a raw signed sum it is correct for hemisphere rings whose
+    fan integral returns s = -2*pi for a +2*pi left interior."""
     if poly is None:
         return 0.0
-    return float(sum(loop_signed_area(v) for v in _oriented_rings(poly)))
+    total = 0.0
+    for v in _oriented_rings(poly):
+        s = loop_signed_area(v)
+        total += s if s >= 0 else s + 4.0 * math.pi
+    r = math.fmod(total, 4.0 * math.pi)
+    if r < 0:
+        r += 4.0 * math.pi
+    if r > 4.0 * math.pi - 1e-9:
+        r = 0.0
+    return float(r)
 
 
 def initialize_to_snapped(polygon, snap_function=None, snap_level=None):
