@@ -317,10 +317,78 @@ def events_sessions(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q6_revenue_forecast(sf_dir):
+    """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
+    ship-year.  Pure streaming filter + per-block partial sum -> one-row
+    combine (the cheapest possible aggregate plan: no shuffle at all)."""
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        sd = df["l_shipdate"].to_numpy()
+        m = ((sd >= lo) & (sd < hi)
+             & (df["l_discount"].to_numpy() >= 0.05)
+             & (df["l_discount"].to_numpy() <= 0.07)
+             & (df["l_quantity"].to_numpy() < 24))
+        df = df[m]
+        rev = _cents(df["l_extendedprice"] * df["l_discount"]).sum() \
+            if len(df) else 0
+        return pd.DataFrame({"revenue_cents": [int(rev)],
+                             "n_items": [int(len(df))]})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_quantity", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n_items": [int(parts["n_items"].sum())]})
+
+
+def q15_top_suppliers(sf_dir, k=10):
+    """TPC-H Q15 shape: top-k suppliers by one-quarter lineitem revenue.
+    Per-block partial groupby(l_suppkey) (cardinality bounded by the
+    supplier count) -> small driver combine -> broadcast-joined supplier
+    names; rank ties broken by suppkey."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name"]).to_pandas()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        sd = df["l_shipdate"].to_numpy()
+        df = df[(sd >= lo) & (sd < hi)]
+        if df.empty:
+            return pd.DataFrame({
+                "l_suppkey": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")})
+        df["revenue_cents"] = _cents(df["l_extendedprice"]
+                                     * (1 - df["l_discount"]))
+        return df.groupby("l_suppkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    agg = parts.groupby("l_suppkey", as_index=False).agg(
+        revenue_cents=("revenue_cents", "sum"))
+    agg = agg.sort_values(["revenue_cents", "l_suppkey"],
+                          ascending=[False, True]).head(k)
+    out = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "l_suppkey", "s_name",
+                "revenue_cents"]].reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q15_top_suppliers": q15_top_suppliers,
     "part_brand_revenue": part_brand_revenue,
     "order_priority_counts": order_priority_counts,
     "events_hourly": events_hourly,
@@ -329,6 +397,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q6_revenue_forecast": (
+        "SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount "
+        "* 100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents, "
+        "COUNT(*) AS n_items FROM lineitem "
+        "WHERE l_shipdate >= DATE '1994-01-01' "
+        "AND l_shipdate < DATE '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q15_top_suppliers": (
+        "WITH rev AS (SELECT l_suppkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem "
+        "WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey), "
+        "r AS (SELECT l_suppkey, revenue_cents, ROW_NUMBER() OVER "
+        "(ORDER BY revenue_cents DESC, l_suppkey) AS rank FROM rev) "
+        "SELECT CAST(rank AS BIGINT) AS rank, l_suppkey, s.s_name, "
+        "revenue_cents FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+        "WHERE rank <= 10"),
     "q1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
