@@ -135,6 +135,28 @@ def geo_cell_encode(sf_dir):
                                           zero_copy_batch=True)
 
 
+def geo_parent_tokens(sf_dir):
+    """Ancestor cell tokens at levels 4/8/16 per point (parent() +
+    toToken at multiple levels — the hierarchical tiling key family).
+    Oracle-checked via the Hilbert recursive CTE + HUGEINT parent
+    arithmetic + rtrim'd hex tokens."""
+    def enc(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        leaf = ci.cellid_from_latlng(lat, lon)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "token_l4": pa.array(ci.to_token(ci.parent(leaf, 4)),
+                                 pa.string()),
+            "token_l8": pa.array(ci.to_token(ci.parent(leaf, 8)),
+                                 pa.string()),
+            "token_l16": pa.array(ci.to_token(ci.parent(leaf, 16)),
+                                  pa.string()),
+        })
+    return geo_points(sf_dir).map_batches(enc, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 def geo_knn(sf_dir, k=5):
     """Exact kNN: for 20 query points (derived from customer keys < 20),
     the k nearest document points by squared chord distance; the identical
@@ -411,6 +433,7 @@ QUERIES = {
     "geo_rect_join": geo_rect_join,
     "geo_grid_tile_count": geo_grid_tile_count,
     "geo_cell_encode": geo_cell_encode,
+    "geo_parent_tokens": geo_parent_tokens,
     "geo_knn": geo_knn,
     "s2_knn": s2_knn,
     "geo_spatial_join": geo_spatial_join,
@@ -573,6 +596,13 @@ WITH RECURSIVE pts AS (
          CAST(face AS HUGEINT) * 2305843009213693952 + pos * 2 + 1 AS cid
   FROM hil WHERE k = -1
 )
+"""
+
+
+def _cell_encode_tail() -> str:
+    i64 = ("CAST(CASE WHEN {v} >= 9223372036854775808 "
+           "THEN {v} - 18446744073709551616 ELSE {v} END AS BIGINT)")
+    return f"""
 SELECT doc_id, {i64.format(v='cid')} AS cell_id,
   {i64.format(v='cl12')} AS cell_l12,
   lower(lpad(to_hex(CAST(cid AS UBIGINT)), 16, '0')) AS token
@@ -581,7 +611,26 @@ FROM (SELECT doc_id, cid,
 """
 
 
-ORACLE["geo_cell_encode"] = _cell_encode_sql()
+def _parent_token_expr(level: int) -> str:
+    """parent(leaf, level) as a lowercase token with trailing zeros
+    stripped (cellid.to_token semantics): parent = cid - cid % (2*m)
+    + m with m = 2^(2*(30-level))."""
+    m = 1 << (2 * (30 - level))
+    return ("rtrim(lower(lpad(to_hex(CAST("
+            f"cid - (cid % {2 * m}) + {m} AS UBIGINT)), 16, '0')), '0')")
+
+
+ORACLE["geo_cell_encode"] = _cell_encode_sql() + _cell_encode_tail()
+
+# Ancestor tokens at several levels: the same Hilbert CTE, parent() as
+# pure HUGEINT arithmetic, to_token's trailing-zero strip via rtrim.
+ORACLE["geo_parent_tokens"] = _cell_encode_sql() + f"""
+SELECT doc_id,
+  {_parent_token_expr(4)} AS token_l4,
+  {_parent_token_expr(8)} AS token_l8,
+  {_parent_token_expr(16)} AS token_l16
+FROM fin
+"""
 
 # Polyline length + midpoint interpolation replayed in SQL: per-edge
 # arc angles (acos of clipped dots), target = half total length, edge
