@@ -434,6 +434,32 @@ def boolean_symmetric_difference(a, b):
     return boolean_union(ab, ba)
 
 
+def destructive_union(polygons):
+    """n-way union (s2polygon.d destructiveUnion semantics): repeatedly
+    merge the two smallest polygons (by vertex count) — the reference's
+    priority-queue strategy, which keeps intermediate results small.
+    Returns a Polygon or None (empty input)."""
+    import heapq
+    heap = []
+    for k, p in enumerate(polygons):
+        if p is not None:
+            n = sum(len(lp.vertices) for lp in p.loops)
+            heapq.heappush(heap, (n, k, p))
+    if not heap:
+        return None
+    serial = len(heap)
+    while len(heap) > 1:
+        _, _, a = heapq.heappop(heap)
+        _, _, b = heapq.heappop(heap)
+        u = boolean_union(a, b)
+        if u is None:
+            continue
+        n = sum(len(lp.vertices) for lp in u.loops)
+        heapq.heappush(heap, (n, serial, u))
+        serial += 1
+    return heap[0][2] if heap else None
+
+
 def _polygon_perimeter(poly) -> float:
     total = 0.0
     for lp in poly.loops:

@@ -166,3 +166,26 @@ def test_intersection_snap_function():
                                   snap_function=IntLatLngSnapFunction(0))
     exp = make_polygon("0:0, 0:10, 1:7, 1:0")
     assert _boundary_near(got, exp, tol=1e-12)
+
+
+def test_destructive_union():
+    """s2polygon.d destructiveUnion: n-way union via smallest-first
+    merging equals chained pairwise unions (area + pointwise checks)."""
+    import numpy as np
+    from s2geometry_d_ray.core import coords
+    polys = [make_polygon(t) for t in (
+        "0:0, 0:2, 2:2, 2:0", "1:1, 1:3, 3:3, 3:1", "2:2, 2:4, 4:4, 4:2",
+        "10:10, 10:11, 11:11, 11:10")]
+    got = po.destructive_union(polys)
+    chained = polys[0]
+    for p in polys[1:]:
+        chained = po.boolean_union(chained, p)
+    assert abs(po.polygon_area(got) - po.polygon_area(chained)) < 1e-12
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-1, 12, 400)
+    lon = rng.uniform(-1, 12, 400)
+    x, y, z = coords.latlng_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+    assert (got.contains_points(pts) == chained.contains_points(pts)).all()
+    assert po.destructive_union([]) is None
+    assert po.destructive_union([None, polys[0]]) is polys[0]
