@@ -260,6 +260,30 @@ def _dedup_directed(sub):
     return out
 
 
+def _vertex_on_edge_splits(e0, e1, verts, cross, snap_r=SNAP_RADIUS):
+    """Add split points where a vertex of the OTHER polygon lies on an
+    edge's interior (within snap_r): T-junction / hanging-node handling.
+    Without this, unions of tile-wise pieces whose shared borders are
+    subdivided differently (e.g. a level-6 cell bordering two level-7
+    cells) leave uncancelled seam edges and drop area — S2Builder
+    resolves the same case by snapping edges through nearby sites."""
+    from .edge import edge_distances2
+    if len(verts) == 0 or len(e0) == 0:
+        return False
+    d2 = edge_distances2(verts, e0, e1)
+    lim = (2.0 * math.sin(min(math.pi / 2, snap_r / 2))) ** 2
+    vi, ei = np.nonzero(d2 <= lim)
+    added = False
+    for v_idx, k in zip(vi.tolist(), ei.tolist()):
+        p = verts[v_idx]
+        if float(((p - e0[k]) ** 2).sum()) <= lim \
+                or float(((p - e1[k]) ** 2).sum()) <= lim:
+            continue  # endpoint coincidence, not a T-junction
+        cross.setdefault(k, []).append(np.asarray(p, dtype=np.float64))
+        added = True
+    return added
+
+
 def _shares_vertices(a0, b0):
     """True if any vertex of a coincides with a vertex of b under
     snap-radius merging.  Polygons that touch at shared vertices (or
@@ -280,7 +304,9 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     b0, b1 = _edges_of(rb)
     pairs = _crossing_pairs(a0, a1, b0, b1)
 
-    if not pairs and _shares_vertices(a0, b0):
+    if not pairs and (_shares_vertices(a0, b0)
+                      or _vertex_on_edge_splits(a0, a1, b0, {})
+                      or _vertex_on_edge_splits(b0, b1, a0, {})):
         # Adjacent/touching polygons (shared vertices or edges, no
         # proper crossings — e.g. two triangles sharing an edge, or the
         # reference's cross/overlap fixtures that meet only at shared
@@ -324,6 +350,9 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
         x = get_intersection(a0[i], a1[i], b0[j], b1[j])
         cross_a.setdefault(i, []).append(x)
         cross_b.setdefault(j, []).append(x)
+    # T-junctions: split edges at the other polygon's on-edge vertices
+    _vertex_on_edge_splits(a0, a1, b0, cross_a)
+    _vertex_on_edge_splits(b0, b1, a0, cross_b)
     sub_a = _split_edges(a0, a1, cross_a, snap)
     sub_b = _split_edges(b0, b1, cross_b, snap)
 

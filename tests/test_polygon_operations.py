@@ -189,3 +189,45 @@ def test_destructive_union():
     assert (got.contains_points(pts) == chained.contains_points(pts)).all()
     assert po.destructive_union([]) is None
     assert po.destructive_union([None, polys[0]]) is polys[0]
+
+
+@pytest.mark.parametrize("fixture_text", [
+    # annulus with hole (near10) and the cross bar
+    "-1:-1, -1:0, -1:1, 0:1, 1:1, 1:0, 1:-1, 0:-1; -1:0, 0:1, 1:0, 0:-1;",
+    "-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1;",
+])
+def test_splitting(fixture_text):
+    """s2polygon_test.d:1733-1818 Splitting: cover the polygon with a
+    MIXED-LEVEL cell covering, intersect with each cell window, union
+    the pieces back, and require the original region (area to 1e-10,
+    pointwise equality on a sample).  Exercises T-junction seams: a
+    coarse cell bordering two finer cells subdivides the shared border
+    differently, which the boolean machinery must re-split."""
+    import numpy as np
+    from s2geometry_d_ray.core import cellid as ci, coords
+    from s2geometry_d_ray.core.cell import Cell
+    from s2geometry_d_ray.core.coverer import RegionCoverer
+    from s2geometry_d_ray.core.loop import Loop
+    from s2geometry_d_ray.core.polygon import Polygon
+
+    poly = make_polygon(fixture_text)
+    rc = RegionCoverer(max_cells=32, min_level=2, max_level=10)
+    cells = np.asarray(rc.get_covering(poly), dtype=np.uint64)
+    assert len(set(ci.level(cells).tolist())) > 1  # mixed levels
+    pieces = []
+    for cid in cells.tolist():
+        c = Cell(int(cid))
+        window = Polygon([Loop(np.stack(
+            [np.asarray(c.vertex(k)) for k in range(4)]), depth=0)])
+        p = po.boolean_intersection(poly, window)
+        if p is not None:
+            pieces.append(p)
+    re = po.destructive_union(pieces)
+    assert re is not None
+    assert abs(po.polygon_area(re) - po.polygon_area(poly)) < 1e-10
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-5, 5, 800)
+    lon = rng.uniform(-5, 5, 800)
+    x, y, z = coords.latlng_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+    assert (poly.contains_points(pts) == re.contains_points(pts)).all()
