@@ -87,6 +87,40 @@ class Cell:
         n = _get_u_norm(self.face, self.u_lo)             # left
         return (-n[0], -n[1], -n[2])
 
+    @staticmethod
+    def average_area_at(level):
+        """Average cell area at a level (s2cell.d:237-239)."""
+        from .metrics import AVG_AREA
+        return AVG_AREA.get_value(int(level))
+
+    def average_area(self):
+        return Cell.average_area_at(self.level)
+
+    def approx_area(self):
+        """Approximate area: flat quad area corrected by the spherical
+        cap projection ratio 2 / (1 + sqrt(1 - r^2)) (s2cell.d:256-274);
+        within 3% everywhere, 0.1% at level >= 5."""
+        import math as _math
+
+        import numpy as np
+        if self.level < 2:
+            return self.average_area()
+        v = [np.asarray(self.vertex(k)) for k in range(4)]
+        flat_area = 0.5 * float(np.linalg.norm(
+            np.cross(v[2] - v[0], v[3] - v[1])))
+        return flat_area * 2.0 / (1.0 + _math.sqrt(
+            1.0 - min(flat_area / _math.pi, 1.0)))
+
+    def exact_area(self):
+        """Exact area as the sum of two stable triangle areas
+        (s2cell.d:282-292)."""
+        import numpy as np
+
+        from .measures import triangle_area
+        v = [np.asarray(self.vertex(k)) for k in range(4)]
+        return float(triangle_area(v[0], v[1], v[2])
+                     + triangle_area(v[0], v[2], v[3]))
+
     def center(self):
         """Cell center via the (si,ti) midpoint — the reference
         definition (s2cell.d getCenter == id.toPoint == getCenterSiTi);

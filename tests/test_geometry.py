@@ -429,3 +429,34 @@ class TestContainsVertexQuery:
         q.add_edge(a, +1)
         q.add_edge(a, -1)
         assert q.contains_sign() == 0
+
+
+def test_cell_area_methods():
+    """s2cell_test.d area invariants: six faces' exactArea sums to 4*pi;
+    children partition the parent's exact area; approxArea within 3%
+    (0.1% at level >= 5); averageArea within 1.7x."""
+    import math
+
+    from s2geometry_d_ray.core import cellid as ci
+    from s2geometry_d_ray.core.cell import Cell
+
+    faces = [Cell((f << 61) | (1 << 60)) for f in range(6)]
+    assert abs(sum(c.exact_area() for c in faces) - 4 * math.pi) < 1e-9
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        lat = rng.uniform(-80, 80)
+        lon = rng.uniform(-180, 180)
+        leaf = ci.cellid_from_latlng(np.array([lat]), np.array([lon]))[0]
+        for level in (3, 7, 12):
+            cid = ci.parent(np.uint64(leaf), level)
+            cell = Cell(int(cid))
+            exact = cell.exact_area()
+            kids = [Cell(int(ci.child(np.uint64(cid), p)))
+                    for p in range(4)]
+            assert abs(sum(k.exact_area() for k in kids) - exact) \
+                <= 1e-15 + 1e-12 * exact
+            rel = abs(cell.approx_area() - exact) / exact
+            assert rel < (0.001 if level >= 5 else 0.03)
+            ratio = cell.average_area() / exact
+            assert 1 / 1.7 < ratio < 1.7
