@@ -582,3 +582,56 @@ def initialize_to_simplified(polygon, tolerance_rad):
         if len(ring) >= 3:
             b.add_loop(ring)
     return b.build_polygon()
+
+
+def _clip_polyline(polygon, vertices, keep_inside):
+    """Split a polyline at polygon-boundary crossings and keep the
+    pieces whose midpoints are inside (keep_inside) or outside the
+    polygon — s2polygon.d:1206-1254 intersectWithPolyline /
+    subtractFromPolyline semantics (snap-free form: crossings are
+    robust get_intersection points).  Returns a list of (n,3) arrays."""
+    v = np.asarray(vertices, dtype=np.float64)
+    if len(v) < 2:
+        return []
+    rings = _oriented_rings(polygon)
+    b0, b1 = _edges_of(rings)
+    out = []
+    cur: list[np.ndarray] = [v[0]]
+    for k in range(len(v) - 1):
+        a, c = v[k], v[k + 1]
+        # crossing points of segment (a, c) with all polygon edges
+        pairs = _crossing_pairs(a[None, :], c[None, :], b0, b1)
+        pts = [get_intersection(a, c, b0[j], b1[j]) for (_, j) in pairs]
+        if pts:
+            d = c - a
+            order = np.argsort([float((p - a) @ d) for p in pts],
+                               kind="stable")
+            pts = [pts[i] for i in order]
+        chain = [a] + pts + [c]
+        for u, w in zip(chain[:-1], chain[1:]):
+            inside = bool(polygon.contains_point(tuple(_midpoint(u, w))))
+            if inside == keep_inside:
+                if not np.array_equal(cur[-1], u):
+                    if len(cur) >= 2:
+                        out.append(np.stack(cur))
+                    cur = [u]
+                cur.append(w)
+            else:
+                if len(cur) >= 2:
+                    out.append(np.stack(cur))
+                cur = [w]
+    if len(cur) >= 2:
+        out.append(np.stack(cur))
+    return out
+
+
+def intersect_with_polyline(polygon, vertices):
+    """Pieces of the polyline inside the polygon
+    (s2polygon.d intersectWithPolyline)."""
+    return _clip_polyline(polygon, vertices, keep_inside=True)
+
+
+def subtract_from_polyline(polygon, vertices):
+    """Pieces of the polyline outside the polygon
+    (s2polygon.d subtractFromPolyline)."""
+    return _clip_polyline(polygon, vertices, keep_inside=False)

@@ -231,3 +231,36 @@ def test_splitting(fixture_text):
     x, y, z = coords.latlng_to_xyz(lat, lon)
     pts = np.stack([x, y, z], axis=1)
     assert (poly.contains_points(pts) == re.contains_points(pts)).all()
+
+
+def test_polyline_clip():
+    """s2polygon.d intersectWithPolyline / subtractFromPolyline: a line
+    crossing a square splits at the boundary; inside+outside pieces
+    partition the line; fully-inside and fully-outside lines pass
+    through whole."""
+    import numpy as np
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.core.polyline import Polyline
+
+    def line(pairs):
+        lat = [p[0] for p in pairs]
+        lon = [p[1] for p in pairs]
+        x, y, z = coords.latlng_to_xyz(np.array(lat, float),
+                                       np.array(lon, float))
+        return np.stack([x, y, z], axis=1)
+
+    square = make_polygon("0:0, 0:10, 10:10, 10:0")
+    # crosses in and out once
+    l1 = line([(5, -5), (5, 15)])
+    ins = po.intersect_with_polyline(square, l1)
+    outs = po.subtract_from_polyline(square, l1)
+    assert len(ins) == 1 and len(outs) == 2
+    total = sum(Polyline(p).get_length() for p in ins + outs)
+    assert abs(total - Polyline(l1).get_length()) < 1e-9
+    # inside piece spans lng 0..10 at lat 5
+    la, lo = coords.xyz_to_latlng(ins[0][:, 0], ins[0][:, 1], ins[0][:, 2])
+    assert abs(lo.min() - 0) < 1e-6 and abs(lo.max() - 10) < 1e-6
+    # fully inside / fully outside
+    assert len(po.intersect_with_polyline(square, line([(2, 2), (3, 3)]))) == 1
+    assert len(po.subtract_from_polyline(square, line([(2, 2), (3, 3)]))) == 0
+    assert len(po.intersect_with_polyline(square, line([(20, 20), (21, 21)]))) == 0
