@@ -264,3 +264,57 @@ def test_polyline_clip():
     assert len(po.intersect_with_polyline(square, line([(2, 2), (3, 3)]))) == 1
     assert len(po.subtract_from_polyline(square, line([(2, 2), (3, 3)]))) == 0
     assert len(po.intersect_with_polyline(square, line([(20, 20), (21, 21)]))) == 0
+
+
+def test_boolean_fuzz_identities():
+    """Randomized sweep: for random convex-ish polygon pairs the
+    constructed ops must satisfy inclusion-exclusion on areas, nesting
+    (A∩B ⊆ A ⊆ A∪B), and disjointness of A∖B with B — 50 seeds of
+    varied overlap geometry."""
+    import numpy as np
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.core.loop import Loop
+    from s2geometry_d_ray.core.polygon import Polygon
+
+    def rand_poly(rng, clat, clon, rdeg, n):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rdeg * rng.uniform(0.6, 1.0, n)
+        lat = clat + r * np.sin(ang)
+        lon = clon + r * np.cos(ang)
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        return Polygon([Loop(np.stack([x, y, z], axis=1), depth=0)])
+
+    bad = []
+    for seed in range(50):
+        rng = np.random.default_rng(seed)
+        a = rand_poly(rng, 10.0, 20.0, 3.0, rng.integers(4, 12))
+        off = rng.uniform(0, 4.0)
+        b = rand_poly(rng, 10.0 + off * 0.7, 20.0 + off * 0.7, 3.0,
+                      rng.integers(4, 12))
+        area_a, area_b = po.polygon_area(a), po.polygon_area(b)
+        i = po.boolean_intersection(a, b)
+        u = po.boolean_union(a, b)
+        d = po.boolean_difference(a, b)
+        ai = po.polygon_area(i) if i else 0.0
+        au = po.polygon_area(u) if u else 0.0
+        ad = po.polygon_area(d) if d else 0.0
+        ok = (abs((ai + au) - (area_a + area_b)) < 1e-9
+              and abs(ad - (area_a - ai)) < 1e-9
+              and ai <= area_a + 1e-12 and ai <= area_b + 1e-12
+              and au >= max(area_a, area_b) - 1e-12)
+        # pointwise spot check
+        rng2 = np.random.default_rng(1000 + seed)
+        lat = rng2.uniform(4, 18, 200)
+        lon = rng2.uniform(14, 28, 200)
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        pts = np.stack([x, y, z], axis=1)
+        in_a = a.contains_points(pts)
+        in_b = b.contains_points(pts)
+        in_u = u.contains_points(pts) if u else np.zeros(len(pts), bool)
+        in_i = i.contains_points(pts) if i else np.zeros(len(pts), bool)
+        # allow snap-width boundary effects: no more than 1 of 200 points
+        ok = ok and ((in_u != (in_a | in_b)).sum() <= 1) \
+            and ((in_i != (in_a & in_b)).sum() <= 1)
+        if not ok:
+            bad.append(seed)
+    assert not bad, f"identity violations at seeds {bad}"
