@@ -102,3 +102,90 @@ def chord2_to_radians(d2):
 def radians_to_chord2(rad):
     s = np.sin(0.5 * np.minimum(np.pi, rad))
     return np.minimum(4.0, 4.0 * s * s)
+
+
+def max_distance2(x, a, b):
+    """Max chord^2 distance from x to edge ab (s2edge_distances.d:106-118):
+    max over endpoints, unless beyond a right angle — then the interior
+    of the REFLECTED edge is closest to -x and max = straight - min."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d2 = max(float(((x - a) ** 2).sum()), float(((x - b) ** 2).sum()))
+    if d2 > 2.0:  # beyond 90 degrees
+        m2 = float(edge_distances2((-x)[None, :], a[None, :],
+                                   b[None, :])[0, 0])
+        d2 = 4.0 - m2
+    return d2
+
+
+def edge_pair_min_distance2(a0, a1, b0, b1):
+    """Min chord^2 distance between edges (s2edge_distances.d:265-284):
+    0 on crossing, else an endpoint of one edge achieves it."""
+    from .predicates import crossing_sign
+    if crossing_sign(tuple(a0), tuple(a1), tuple(b0), tuple(b1)) > 0:
+        return 0.0
+    A = np.stack([a0, a1]).astype(np.float64)
+    B = np.stack([b0, b1]).astype(np.float64)
+    d_ab = edge_distances2(A, np.asarray(b0)[None, :],
+                           np.asarray(b1)[None, :]).min()
+    d_ba = edge_distances2(B, np.asarray(a0)[None, :],
+                           np.asarray(a1)[None, :]).min()
+    return float(min(d_ab, d_ba))
+
+
+def edge_pair_max_distance2(a0, a1, b0, b1):
+    """Max chord^2 distance between edges: 4 (pi) if one edge crosses
+    the other's antipodal reflection, else attained at an endpoint
+    (s2edge_distances.d UpdateEdgePairMaxDistance semantics)."""
+    from .predicates import crossing_sign
+    nb0 = -np.asarray(b0, dtype=np.float64)
+    nb1 = -np.asarray(b1, dtype=np.float64)
+    if crossing_sign(tuple(a0), tuple(a1), tuple(nb0), tuple(nb1)) > 0:
+        return 4.0
+    return max(max_distance2(a0, b0, b1), max_distance2(a1, b0, b1),
+               max_distance2(b0, a0, a1), max_distance2(b1, a0, a1))
+
+
+def is_edge_b_near_edge_a(a0, a1, b0, b1, tolerance_rad):
+    """True iff every point of edge B is within tolerance of edge A
+    (s2edge_distances.d:304-384, full port: endpoint projections, the
+    plane angle shortcut, the antiparallel special case, and the
+    furthest-point-on-circ(B) wedge test)."""
+    import math
+
+    from .edge_clipping import robust_cross_prod
+    from .predicates import sign
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    a_ortho = np.asarray(robust_cross_prod(a0, a1), dtype=np.float64)
+    a_ortho = a_ortho / np.linalg.norm(a_ortho)
+    near_b0 = project(b0, a0, a1)
+    near_b1 = project(b1, a0, a1)
+    if sign(tuple(a_ortho), tuple(near_b0), tuple(near_b1)) < 0:
+        a_ortho = -a_ortho
+
+    def angle(p, q):
+        return math.atan2(float(np.linalg.norm(np.cross(p, q))),
+                          float(p @ q))
+
+    if angle(b0, near_b0) > tolerance_rad \
+            or angle(b1, near_b1) > tolerance_rad:
+        return False
+    b_ortho = np.asarray(robust_cross_prod(b0, b1), dtype=np.float64)
+    b_ortho = b_ortho / np.linalg.norm(b_ortho)
+    planar_angle = angle(a_ortho, b_ortho)
+    if planar_angle <= tolerance_rad:
+        return True
+    if planar_angle >= math.pi - 0.01:
+        return ((angle(b0, a0) < angle(b0, a1))
+                == (angle(b1, a0) < angle(b1, a1)))
+    furthest = a_ortho - float(a_ortho @ b_ortho) * b_ortho
+    furthest = furthest / np.linalg.norm(furthest)
+    finv = -furthest
+    def on_b(p):
+        return (sign(tuple(b_ortho), tuple(b0), tuple(p)) > 0
+                and sign(tuple(p), tuple(b1), tuple(b_ortho)) > 0)
+    return not (on_b(furthest) or on_b(finv))

@@ -460,3 +460,51 @@ def test_cell_area_methods():
             assert rel < (0.001 if level >= 5 else 0.03)
             ratio = cell.average_area() / exact
             assert 1 / 1.7 < ratio < 1.7
+
+
+def test_edge_max_and_pair_distances():
+    """s2edge_distances.d updateMaxDistance / edge-pair min+max /
+    isEdgeBNearEdgeA behavioral checks with closed-form values."""
+    import math
+
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.core.edge import (chord2_to_radians,
+                                            edge_pair_max_distance2,
+                                            edge_pair_min_distance2,
+                                            is_edge_b_near_edge_a,
+                                            max_distance2)
+
+    def pt(lat, lon):
+        x, y, z = coords.latlng_to_xyz(float(lat), float(lon))
+        return np.array([float(x), float(y), float(z)])
+
+    # x at the north pole, edge on the equator: max distance = 90 deg
+    eq0, eq90 = pt(0, 0), pt(0, 90)
+    pole = pt(90, 0)
+    assert abs(chord2_to_radians(max_distance2(pole, eq0, eq90))
+               - math.pi / 2) < 1e-12
+    # x antipodal to an edge endpoint: max distance = pi
+    anti = -eq0
+    assert abs(chord2_to_radians(max_distance2(anti, eq0, eq90))
+               - math.pi) < 1e-9
+
+    # crossing edges: pair min distance 0
+    assert edge_pair_min_distance2(pt(-1, 0), pt(1, 0),
+                                   pt(0, -1), pt(0, 1)) == 0.0
+    # parallel latitude-offset segments: min distance = 1 degree
+    d2 = edge_pair_min_distance2(pt(0, 0), pt(0, 10),
+                                 pt(1, 0), pt(1, 10))
+    assert abs(chord2_to_radians(d2) - math.radians(1)) < 1e-6
+    # edge crossing the antipodal reflection of the other: max = pi
+    assert edge_pair_max_distance2(pt(-1, 180), pt(1, 180),
+                                   pt(0, -1), pt(0, 1)) == 4.0
+
+    # near-edge test: nudged copy is near, distant edge is not,
+    # an overhanging B (extends past A's projection span) is not
+    tol = math.radians(0.5)
+    assert is_edge_b_near_edge_a(pt(0, 0), pt(0, 10),
+                                 pt(0.2, 1), pt(0.2, 9), tol)
+    assert not is_edge_b_near_edge_a(pt(0, 0), pt(0, 10),
+                                     pt(5, 0), pt(5, 10), tol)
+    assert not is_edge_b_near_edge_a(pt(0, 0), pt(0, 10),
+                                     pt(0.2, 1), pt(3.0, 9), tol)
