@@ -491,3 +491,34 @@ class Builder:
                 chain.extend([u, v])
         return np.array([g.vertices[k] for k in chain]) \
             if chain else np.empty((0, 3))
+
+    def build_polyline_vector(self):
+        """Assemble MULTIPLE polylines (s2polyline_vector_layer.d:49):
+        edges are walked in input order; a new polyline starts whenever
+        the next edge does not continue the current chain.  Returns a
+        list of (n, 3) vertex arrays."""
+        g = self.build_graph()
+        undirected = self.edge_type == "undirected"
+        out: list[np.ndarray] = []
+        chain: list[int] = []
+        used_ids: set = set()
+        for (u, v), iid in zip(g.edges, g.input_edge_ids):
+            if u == v:
+                continue
+            if undirected:
+                key = tuple(sorted(iid)) if isinstance(iid, list) else iid
+                if key in used_ids:
+                    continue
+                used_ids.add(key)
+            if not chain:
+                chain = [u, v]
+            elif chain[-1] == u:
+                chain.append(v)
+            elif undirected and chain[-1] == v:
+                chain.append(u)
+            else:
+                out.append(np.array([g.vertices[k] for k in chain]))
+                chain = [u, v]
+        if chain:
+            out.append(np.array([g.vertices[k] for k in chain]))
+        return out

@@ -195,3 +195,44 @@ def normalize_xyz(x, y, z):
     n = np.sqrt(x * x + y * y + z * z)
     n = np.where(n == 0, 1.0, n)
     return x / n, y / n, z / n
+
+
+# ---------------------------------------------------------------------------
+# Point utilities (s2pointutil.d:36-199): orthonormal frames and rotation.
+# ---------------------------------------------------------------------------
+
+def get_frame(z_axis):
+    """Right-handed orthonormal frame with the given z axis
+    (s2pointutil.d getFrame): columns (x, y, z)."""
+    z = np.asarray(z_axis, dtype=np.float64)
+    z = z / np.linalg.norm(z)
+    # ortho: pick the smallest component axis for stability
+    k = int(np.argmin(np.abs(z)))
+    temp = np.zeros(3)
+    temp[k] = 1.0
+    x = np.cross(z, temp)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1)
+
+
+def to_frame(frame, p):
+    """World -> frame coordinates (s2pointutil.d toFrame)."""
+    return np.asarray(frame, dtype=np.float64).T \
+        @ np.asarray(p, dtype=np.float64)
+
+
+def from_frame(frame, q):
+    """Frame -> world coordinates (s2pointutil.d fromFrame)."""
+    return np.asarray(frame, dtype=np.float64) \
+        @ np.asarray(q, dtype=np.float64)
+
+
+def rotate(p, axis, angle_rad):
+    """Rotate p around the (unit) axis by angle (Rodrigues,
+    s2pointutil.d rotate)."""
+    p = np.asarray(p, dtype=np.float64)
+    a = np.asarray(axis, dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    return (p * c + np.cross(a, p) * s + a * float(a @ p) * (1.0 - c))

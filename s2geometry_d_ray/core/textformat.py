@@ -134,3 +134,40 @@ def to_string_latlngs(points_xyz):
     lat, lng = coords.xyz_to_latlng(points_xyz[:, 0], points_xyz[:, 1],
                                     points_xyz[:, 2])
     return ", ".join(f"{la:.15g}:{ln:.15g}" for la, ln in zip(lat, lng))
+
+
+def make_index(text):
+    """The reference's makeIndex grammar (s2text_format.d:346-361):
+    "points # polylines # polygons" with '|'-separated entries per
+    section.  Returns {'points': (n,3) array, 'polylines': [ (m,3) ],
+    'polygons': [Polygon]} — the shape-collection form consumed by
+    core.shapes.ShapeIndexRegion."""
+    sections = text.split("#")
+    assert len(sections) == 3, "expected 'points # polylines # polygons'"
+    pts_txt, lines_txt, polys_txt = sections
+    pts = []
+    for chunk in (t for t in pts_txt.split("|") if t.strip()):
+        pts.extend(parse_points(chunk))
+    polylines = [np.asarray(parse_points(chunk), dtype=np.float64)
+                 for chunk in lines_txt.split("|") if chunk.strip()]
+    polygons = [make_polygon(chunk)
+                for chunk in polys_txt.split("|") if chunk.strip()]
+    return {
+        "points": (np.asarray(pts, dtype=np.float64)
+                   if pts else np.empty((0, 3))),
+        "polylines": polylines,
+        "polygons": polygons,
+    }
+
+
+def to_string_index(index) -> str:
+    """Inverse of make_index (s2text_format.d toString(S2ShapeIndex))."""
+    pts = index.get("points")
+    parts_p = to_string_latlngs(pts) if pts is not None and len(pts) \
+        else ""
+    parts_l = " | ".join(to_string_latlngs(v)
+                         for v in index.get("polylines", []))
+    parts_g = " | ".join(
+        "; ".join(to_string_latlngs(lp.vertices) for lp in poly.loops)
+        for poly in index.get("polygons", []))
+    return f"{parts_p} # {parts_l} # {parts_g}"

@@ -108,3 +108,73 @@ def test_wedge_relations():
     assert get_wedge_relation(n0, hub, n2, s0, s2) == WEDGE_IS_DISJOINT
     assert not wedge_intersects(n0, hub, n2, s0, s2)
     del WEDGE_IS_DISJOINT
+
+
+def test_make_index_roundtrip():
+    """s2text_format.d:346-361 makeIndex grammar + writer roundtrip."""
+    from s2geometry_d_ray.core.textformat import make_index, to_string_index
+    idx = make_index("0:0 | 1:0 # 4:4, 4:6 | 5:5, 6:6 # 0:0, 0:3, 3:0")
+    assert idx["points"].shape == (2, 3)
+    assert len(idx["polylines"]) == 2
+    assert len(idx["polygons"]) == 1
+    s = to_string_index(idx)
+    idx2 = make_index(s)
+    assert idx2["points"].shape == (2, 3)
+    assert len(idx2["polylines"]) == 2
+    assert len(idx2["polygons"]) == 1
+    import numpy as np
+    assert np.allclose(idx2["points"], idx["points"])
+    # empty sections parse
+    e = make_index(" # # ")
+    assert len(e["points"]) == 0 and not e["polylines"] \
+        and not e["polygons"]
+
+
+def test_point_util_frames_and_rotate():
+    """s2pointutil.d getFrame/toFrame/fromFrame/rotate invariants."""
+    import math
+
+    import numpy as np
+    from s2geometry_d_ray.core import coords
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        z = rng.normal(size=3)
+        z /= np.linalg.norm(z)
+        f = coords.get_frame(z)
+        # orthonormal, right-handed, z column = z
+        assert np.allclose(f.T @ f, np.eye(3), atol=1e-12)
+        assert np.linalg.det(f) > 0.99
+        assert np.allclose(f[:, 2], z)
+        p = rng.normal(size=3)
+        p /= np.linalg.norm(p)
+        q = coords.to_frame(f, p)
+        assert np.allclose(coords.from_frame(f, q), p, atol=1e-14)
+        # rotate: preserves norm and angle-to-axis; 2pi is identity
+        axis = rng.normal(size=3)
+        r = coords.rotate(p, axis, 1.234)
+        assert abs(np.linalg.norm(r) - 1.0) < 1e-12
+        a = axis / np.linalg.norm(axis)
+        assert abs(float(a @ r) - float(a @ p)) < 1e-12
+        assert np.allclose(coords.rotate(p, axis, 2 * math.pi), p,
+                           atol=1e-12)
+
+
+def test_builder_polyline_vector_layer():
+    """s2polyline_vector_layer.d: disjoint chains come out as separate
+    polylines in input order."""
+    import numpy as np
+    from s2geometry_d_ray.core import builder as bu
+    from s2geometry_d_ray.core import coords
+
+    def ll(lat, lng):
+        x, y, z = coords.latlng_to_xyz(float(lat), float(lng))
+        v = np.array([float(x), float(y), float(z)])
+        return v / np.linalg.norm(v)
+
+    b = bu.Builder(bu.IdentitySnapFunction(0.0))
+    b.add_polyline(np.stack([ll(0, 0), ll(0, 1), ll(0, 2)]))
+    b.add_polyline(np.stack([ll(5, 0), ll(5, 1)]))
+    out = b.build_polyline_vector()
+    assert len(out) == 2
+    assert len(out[0]) == 3 and len(out[1]) == 2
+    assert np.allclose(out[1][0], ll(5, 0))
