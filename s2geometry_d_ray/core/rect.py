@@ -114,17 +114,44 @@ class S1Interval:
         return other.lo <= self.hi and other.hi >= self.lo
 
     def expanded(self, margin):
-        if margin <= 0:
-            return S1Interval(self.lo, self.hi)
-        if self.is_empty():
-            return S1Interval(self.lo, self.hi)
-        if self.get_length() + 2 * margin + 2e-15 >= 2 * _PI:
-            return S1Interval.full()
+        """Expand (margin > 0) or shrink (margin < 0) both endpoints
+        (s1interval.d Expanded, both signs)."""
+        if margin >= 0:
+            if self.is_empty():
+                return S1Interval(self.lo, self.hi)
+            if margin == 0:
+                return S1Interval(self.lo, self.hi)
+            if self.get_length() + 2 * margin + 2e-15 >= 2 * _PI:
+                return S1Interval.full()
+        else:
+            if self.is_full():
+                return S1Interval(self.lo, self.hi)
+            if self.get_length() + 2 * margin - 2e-15 <= 0:
+                return S1Interval.empty()
         lo = math.remainder(self.lo - margin, 2 * _PI)
         hi = math.remainder(self.hi + margin, 2 * _PI)
         if lo <= -_PI:
             lo = _PI
         return S1Interval(lo, hi)
+
+    def intersection(self, other):
+        """Intersection of circle intervals (s1interval.d Intersection;
+        for two disjoint results the EMPTY interval is returned)."""
+        if other.is_empty():
+            return S1Interval.empty()
+        if self.contains(other.lo):
+            if self.contains(other.hi):
+                # Either one contains the other, or the union covers
+                # the circle; return the shorter candidate.
+                if other.get_length() < self.get_length():
+                    return S1Interval(other.lo, other.hi)
+                return S1Interval(self.lo, self.hi)
+            return S1Interval(other.lo, self.hi)
+        if self.contains(other.hi):
+            return S1Interval(self.lo, other.hi)
+        if other.contains(self.lo):
+            return S1Interval(self.lo, self.hi)
+        return S1Interval.empty()
 
     def get_length(self):
         length = self.hi - self.lo
