@@ -213,20 +213,72 @@ def process_graph_options(g: Graph, degenerate_edges="keep",
     return Graph(g.vertices, edges, ids)
 
 
+def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
+    """Greedy maximal-edge walk over a chain using the ported
+    PolylineSimplifier (the s2builder.d simplify pattern): every
+    original vertex is a TARGET disc; vertices of OTHER chains near
+    each traversed edge become AVOID discs with the side bit from
+    orderedCCW (s2polyline_simplifier.d avoidDisc docstring recipe),
+    so the simplified chain preserves topology with respect to them.
+    Returns kept indices (always includes 0 and n-1)."""
+    from .edge import edge_distances2, radians_to_chord2
+    from .polyline_simplifier import PolylineSimplifier
+    from .predicates import ordered_ccw
+    n = len(pts)
+    if n <= 2:
+        return list(range(n))
+    lim2 = float(radians_to_chord2(tolerance_rad))
+    s = PolylineSimplifier()
+    out = [0]
+    s.initialize(pts[0])
+    anchor = 0
+
+    def add_avoids(a_idx, c_idx, d_idx):
+        if len(avoid_pts) == 0:
+            return
+        d2 = edge_distances2(avoid_pts, pts[c_idx][None, :],
+                             pts[d_idx][None, :])[:, 0]
+        near = np.flatnonzero(d2 <= lim2)
+        if len(near) == 0:
+            return
+        A = pts[a_idx]
+        ac = float(((A - pts[c_idx]) ** 2).sum())
+        ad = float(((A - pts[d_idx]) ** 2).sum())
+        for k in near.tolist():
+            X = avoid_pts[k]
+            ax = float(((A - X) ** 2).sum())
+            if ax <= ac or ax >= ad:
+                continue  # already considered / not yet relevant
+            left = ordered_ccw(tuple(A), tuple(pts[d_idx]), tuple(X),
+                               tuple(pts[c_idx]))
+            s.avoid_disc(X, tolerance_rad, bool(left))
+
+    for i in range(1, n):
+        add_avoids(anchor, i - 1, i)
+        if not s.extend(pts[i]):
+            out.append(i - 1)
+            anchor = i - 1
+            s.initialize(pts[i - 1])
+            add_avoids(anchor, i - 1, i)
+        s.target_disc(pts[i], tolerance_rad)
+    if out[-1] != n - 1:
+        out.append(n - 1)
+    return out
+
+
 def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
     """simplify_edge_chains (s2builder.d:446-450): collapse chains of
-    interior degree-(1 in, 1 out) vertices using the spherical
-    Douglas-Peucker simplifier at the snap-radius tolerance.
+    interior degree-(1 in, 1 out) vertices using the ported
+    S2PolylineSimplifier at the snap-radius tolerance — every removed
+    vertex is a target disc of the surviving edge, and vertices of
+    other chains near the path are avoid discs with side bits, so
+    topology wrt them is preserved (the reference's guarantee).
 
-    Guarantees kept from the reference: forced vertices (chain ends,
-    junctions, vertices with in-degree != 1 or out-degree != 1) never
-    move or disappear; every removed vertex lies within tolerance_rad
-    of the simplified chain; merged output edges carry the union of
-    their constituent input-edge ids (lists).  New-crossing avoidance
-    is a conservative POST-check here (the reference builds it into
-    its simplifier): any chain whose simplified edges would cross
-    another chain's edges is reverted to its unsimplified form."""
-    from .snap import simplify_polyline
+    Forced vertices (chain ends, junctions, vertices with in-degree
+    != 1 or out-degree != 1) never move or disappear; merged output
+    edges carry the union of their constituent input-edge ids (lists).
+    A conservative POST-check additionally reverts any chain whose
+    simplified edges would cross another chain's edges."""
 
     m = len(g.edges)
     if m == 0:
@@ -271,10 +323,18 @@ def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
             out.extend(i if isinstance(i, list) else [i])
         return out
 
+    chain_vertex_sets = [set(seq) for seq, _ in chains]
+    all_vertices_used = set()
+    for cs in chain_vertex_sets:
+        all_vertices_used |= cs
+
     simplified = []
-    for seq, ids in chains:
+    for ci_, (seq, ids) in enumerate(chains):
         pts = g.vertices[np.array(seq)]
-        keep = simplify_polyline(pts, tolerance_rad)
+        other_ids = sorted(all_vertices_used - chain_vertex_sets[ci_])
+        avoid_pts = g.vertices[np.array(other_ids)] if other_ids \
+            else np.empty((0, 3))
+        keep = _simplifier_chain_walk(pts, tolerance_rad, avoid_pts)
         if len(keep) == len(seq):
             simplified.append((seq, [list(flat_ids([i])) for i in ids],
                                False))

@@ -246,3 +246,28 @@ def test_graph_options_discard_excess_keeps_one_pair():
     assert d.edges == []
     e = bu.process_graph_options(g, sibling_pairs="discard_excess")
     assert sorted(e.edges) == [(0, 1), (1, 0)]
+
+
+def test_simplify_avoids_other_chain_vertices():
+    """The simplifier-based chain walk preserves topology: a bump that
+    plain distance-only simplification would cut off is KEPT when
+    another chain's vertex lies between the bump and the chord (the
+    avoid-disc guarantee, s2polyline_simplifier.d avoidDisc)."""
+    tol = math.radians(0.5)
+    bump_chain = np.stack([ll(0, 0), ll(0.3, 5), ll(0, 10)])
+
+    # Without any other geometry, the 0.3-degree bump is inside the
+    # 0.5-degree tolerance and gets simplified away.
+    b1 = bu.Builder(bu.IdentitySnapFunction(tol), simplify_edge_chains=True)
+    b1.add_polyline(bump_chain)
+    assert len(b1.build_polyline()) == 2
+
+    # With a second chain whose vertex sits between the chord and the
+    # bump, cutting across would flip that vertex's side: the walk
+    # must keep the bump (or split), not cross the avoid disc.
+    b2 = bu.Builder(bu.IdentitySnapFunction(tol), simplify_edge_chains=True)
+    b2.add_polyline(bump_chain)
+    b2.add_polyline(np.stack([ll(0.15, 4.0), ll(0.15, 6.0)]))
+    out = b2.build_polyline_vector()
+    main = max(out, key=len)
+    assert len(main) >= 3
