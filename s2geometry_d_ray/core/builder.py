@@ -388,6 +388,78 @@ def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
     return Graph(g.vertices, edges, out_ids)
 
 
+def _snap_edge_chain(x, y, u_site, v_site, site_arr, r):
+    """s2builder.d:1438-1520 snapEdge: route the snapped edge through
+    every site whose r-clipped Voronoi region intersects the input edge
+    (x, y) — the min-edge-vertex-separation machinery.  Candidates are
+    sites within r of the edge ordered by projection along it; the
+    chain is pruned with getVoronoiSiteExclusion and, for triples, the
+    edgeCircumcenterSign test, exactly as the reference."""
+    from .distance_predicates import (FIRST, SECOND, compare_edge_distance,
+                                      edge_circumcenter_sign,
+                                      get_voronoi_site_exclusion)
+    from .edge import edge_distances2, radians_to_chord2
+    from .predicates import sign
+    if len(site_arr) == 0 or r <= 0:
+        return [u_site, v_site]
+    r2 = float(radians_to_chord2(r))
+    d2 = edge_distances2(site_arr, x[None, :], y[None, :])[:, 0]
+    cand = np.flatnonzero(d2 <= r2)
+    if len(cand) == 0:
+        return [u_site, v_site]
+    # order by projection along the edge direction
+    t = (site_arr[cand] - x[None, :]) @ (y - x)
+    cand = cand[np.argsort(t, kind="stable")].tolist()
+    max_adj2 = float(radians_to_chord2(min(math.pi, 2 * r)) ) + 4e-16
+    chain: list[int] = []
+    for ci in cand:
+        if compare_edge_distance(site_arr[ci], x, y, r2) > 0:
+            continue
+        c = site_arr[ci]
+        add_c = True
+        while chain:
+            b = site_arr[chain[-1]]
+            bc2 = float(((b - c) ** 2).sum())
+            if bc2 >= max_adj2:
+                break
+            try:
+                res = get_voronoi_site_exclusion(b, c, x, y, r2)
+            except Exception:
+                break
+            if res == FIRST:
+                chain.pop()
+                continue
+            if res == SECOND:
+                add_c = False
+                break
+            if len(chain) < 2:
+                break
+            a = site_arr[chain[-2]]
+            ac2 = float(((a - c) ** 2).sum())
+            if ac2 >= max_adj2:
+                break
+            xyb = sign(tuple(x), tuple(y), tuple(b))
+            if sign(tuple(a), tuple(b), tuple(c)) == xyb:
+                break
+            if edge_circumcenter_sign(x, y, a, b, c) != xyb:
+                break
+            chain.pop()
+        if add_c:
+            chain.append(ci)
+    if not chain:
+        return [u_site, v_site]
+    # endpoints' own sites anchor the chain
+    if chain[0] != u_site:
+        chain.insert(0, u_site)
+    if chain[-1] != v_site:
+        chain.append(v_site)
+    out = [chain[0]]
+    for s_ in chain[1:]:
+        if s_ != out[-1]:
+            out.append(s_)
+    return out
+
+
 class Builder:
     def __init__(self, snap_function=None, split_crossing_edges=False,
                  edge_type="directed", simplify_edge_chains=False):
@@ -493,15 +565,28 @@ class Builder:
 
         edges = []
         out_ids = []
+        r = self.snap.snap_radius
         for (a, b), iid in zip(snapped, input_ids):
             u, v = site_for(a), site_for(b)
-            edges.append((u, v))
-            out_ids.append(iid)
-            if self.edge_type == "undirected":
-                # sibling pair (s2builder.d:1669-1680): undirected input
-                # edges are represented as both directions, same input id
-                edges.append((v, u))
+            # min-edge-vertex-separation: route the edge through every
+            # site whose clipped Voronoi region it crosses (snapEdge)
+            chain = _snap_edge_chain(a, b, u, v, site_arr, r) \
+                if r > 0 and len(site_arr) > 2 else [u, v]
+            for cu, cv in zip(chain[:-1], chain[1:]):
+                edges.append((cu, cv))
                 out_ids.append(iid)
+                if self.edge_type == "undirected":
+                    # sibling pair (s2builder.d:1669-1680): undirected
+                    # input edges are represented as both directions,
+                    # same input id
+                    edges.append((cv, cu))
+                    out_ids.append(iid)
+            if len(chain) == 1:  # fully degenerate after snapping
+                edges.append((chain[0], chain[0]))
+                out_ids.append(iid)
+                if self.edge_type == "undirected":
+                    edges.append((chain[0], chain[0]))
+                    out_ids.append(iid)
         g = Graph(verts, edges, out_ids)
         if self.simplify_edge_chains and self.snap.snap_radius > 0:
             g = simplify_graph(g, self.snap.snap_radius)

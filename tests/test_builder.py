@@ -271,3 +271,31 @@ def test_simplify_avoids_other_chain_vertices():
     out = b2.build_polyline_vector()
     main = max(out, key=len)
     assert len(main) >= 3
+
+
+def test_edge_routes_through_nearby_site():
+    """s2builder.d:1438-1520 snapEdge: an edge passing within
+    snap_radius of a non-incident site is rerouted through it
+    (min-edge-vertex-separation); distant sites leave edges alone."""
+    r = math.radians(1.0)
+    b = bu.Builder(bu.IdentitySnapFunction(r))
+    b.add_edge(ll(0, 0), ll(0, 10))
+    b.add_edge(ll(0.4, 5), ll(5, 5))   # endpoint 0.4 deg from the edge
+    g = b.build_graph()
+    # the long edge must be split through the near site: 3 edges total
+    assert len(g.edges) == 3
+    near = np.array(ll(0.4, 5))
+    d2 = ((g.vertices - near) ** 2).sum(axis=1)
+    s_near = int(np.argmin(d2))
+    long_edge_parts = [(u, v) for (u, v), i in
+                       zip(g.edges, g.input_edge_ids) if i == 0]
+    assert len(long_edge_parts) == 2
+    assert long_edge_parts[0][1] == s_near
+    assert long_edge_parts[1][0] == s_near
+
+    # far site: no rerouting
+    b2 = bu.Builder(bu.IdentitySnapFunction(r))
+    b2.add_edge(ll(0, 0), ll(0, 10))
+    b2.add_edge(ll(5, 5), ll(8, 5))
+    g2 = b2.build_graph()
+    assert len(g2.edges) == 2
