@@ -462,12 +462,48 @@ def _snap_edge_chain(x, y, u_site, v_site, site_arr, r):
 
 class Builder:
     def __init__(self, snap_function=None, split_crossing_edges=False,
-                 edge_type="directed", simplify_edge_chains=False):
+                 edge_type="directed", simplify_edge_chains=False,
+                 idempotent=True):
         self.snap = snap_function or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
         self.edge_type = edge_type
         self.simplify_edge_chains = simplify_edge_chains
+        self.idempotent = idempotent
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _snapping_needed(self, snapped):
+        """Idempotency detection (s2builder.d snappingNeeded): snapping
+        can be skipped when the input could already be the output of a
+        previous snap — every vertex at its own snap site, all vertex
+        pairs >= min_vertex_separation (= snap_radius), and no vertex
+        within min_edge_vertex_separation (= snap_radius / 2) of a
+        non-incident edge."""
+        from .edge import edge_distances2, radians_to_chord2
+        r = self.snap.snap_radius
+        if r <= 0:
+            return False
+        pts = []
+        for a, b in snapped:
+            pts.append(a)
+            pts.append(b)
+        arr = np.unique(np.stack(pts), axis=0)
+        for p in arr:
+            if float(((self.snap.snap_point(p) - p) ** 2).sum()) > 1e-30:
+                return True  # vertex not at a valid snap location
+        sep2 = float(radians_to_chord2(r))
+        d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, 4.0)
+        if float(d2.min()) < sep2:
+            return True
+        ev2 = float(radians_to_chord2(0.5 * r))
+        for a, b in snapped:
+            d = edge_distances2(arr, a[None, :], b[None, :])[:, 0]
+            for k in np.flatnonzero(d < ev2).tolist():
+                p = arr[k]
+                if float(((p - a) ** 2).sum()) > 1e-30 \
+                        and float(((p - b) ** 2).sum()) > 1e-30:
+                    return True
+        return False
 
     # -- input ---------------------------------------------------------
     def add_edge(self, a, b):
@@ -525,9 +561,20 @@ class Builder:
         if self.split_crossing_edges:
             self._split_crossings()
             input_ids = getattr(self, "_input_ids_after_split", input_ids)
+        # 0. idempotency (s2builder.d setIdempotent): if the raw input
+        #    already satisfies the snap function's guarantees, pass it
+        #    through unchanged — no vertex moves, no merging, no edge
+        #    routing.
+        raw = [(np.asarray(a, dtype=np.float64),
+                np.asarray(b, dtype=np.float64)) for a, b in self._edges]
+        skip_snapping = (self.idempotent and raw
+                         and not self._snapping_needed(raw))
         # 1. snap every endpoint with the snap function
-        snapped = [(self.snap.snap_point(a), self.snap.snap_point(b))
-                   for a, b in self._edges]
+        if skip_snapping:
+            snapped = raw
+        else:
+            snapped = [(self.snap.snap_point(a), self.snap.snap_point(b))
+                       for a, b in self._edges]
         # 2. site selection: greedy maximal subset separated by at
         #    least snap_radius, processed in S2CellId order (the
         #    reference visits candidate sites in cell-id order,
@@ -546,7 +593,7 @@ class Builder:
             cids = ci.cellid_from_xyz(uniq[:, 0], uniq[:, 1], uniq[:, 2])
             order = np.argsort(cids, kind="stable")
             chord2_max = (2 * math.sin(min(math.pi / 2, r / 2))) ** 2 \
-                if r > 0 else 0.0
+                if r > 0 and not skip_snapping else 0.0
             for k in order.tolist():
                 p = uniq[k]
                 ok = True
@@ -571,7 +618,8 @@ class Builder:
             # min-edge-vertex-separation: route the edge through every
             # site whose clipped Voronoi region it crosses (snapEdge)
             chain = _snap_edge_chain(a, b, u, v, site_arr, r) \
-                if r > 0 and len(site_arr) > 2 else [u, v]
+                if r > 0 and len(site_arr) > 2 and not skip_snapping \
+                else [u, v]
             for cu, cv in zip(chain[:-1], chain[1:]):
                 edges.append((cu, cv))
                 out_ids.append(iid)

