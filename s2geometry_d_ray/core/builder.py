@@ -266,7 +266,8 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
     return out
 
 
-def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
+def simplify_graph(g: Graph, tolerance_rad: float,
+                   forced_ids: frozenset = frozenset()) -> Graph:
     """simplify_edge_chains (s2builder.d:446-450): collapse chains of
     interior degree-(1 in, 1 out) vertices using the ported
     S2PolylineSimplifier at the snap-radius tolerance — every removed
@@ -292,7 +293,8 @@ def simplify_graph(g: Graph, tolerance_rad: float) -> Graph:
         out_edge.setdefault(u, []).append(idx)
 
     def forced(v):
-        return in_deg.get(v, 0) != 1 or out_deg.get(v, 0) != 1
+        return (v in forced_ids or in_deg.get(v, 0) != 1
+                or out_deg.get(v, 0) != 1)
 
     visited = [False] * m
     chains = []  # (vertex_id_seq, input_id_list_per_edge)
@@ -407,8 +409,10 @@ def _snap_edge_chain(x, y, u_site, v_site, site_arr, r):
     cand = np.flatnonzero(d2 <= r2)
     if len(cand) == 0:
         return [u_site, v_site]
-    # order by projection along the edge direction
-    t = (site_arr[cand] - x[None, :]) @ (y - x)
+    # order by distance from the edge start (s2builder.d
+    # sortSitesByDistance(x, site_ids)) — getVoronoiSiteExclusion
+    # requires the earlier chain site to be closer to x
+    t = ((site_arr[cand] - x[None, :]) ** 2).sum(axis=1)
     cand = cand[np.argsort(t, kind="stable")].tolist()
     max_adj2 = float(radians_to_chord2(min(math.pi, 2 * r)) ) + 4e-16
     chain: list[int] = []
@@ -470,6 +474,13 @@ class Builder:
         self.simplify_edge_chains = simplify_edge_chains
         self.idempotent = idempotent
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+        self._forced: list[np.ndarray] = []
+
+    def force_vertex(self, p):
+        """s2builder.d:783-785 forceVertex: the point becomes a site
+        verbatim (never snapped, never merged, never simplified away).
+        No minimum-separation guarantees apply to forced sites."""
+        self._forced.append(np.asarray(p, dtype=np.float64))
 
     def _snapping_needed(self, snapped):
         """Idempotency detection (s2builder.d snappingNeeded): snapping
@@ -567,8 +578,15 @@ class Builder:
         #    routing.
         raw = [(np.asarray(a, dtype=np.float64),
                 np.asarray(b, dtype=np.float64)) for a, b in self._edges]
-        skip_snapping = (self.idempotent and raw
+        skip_snapping = (self.idempotent and raw and not self._forced
                          and not self._snapping_needed(raw))
+        # forced sites first (addForcedSites: sort + dedup; their ids
+        # are 0..num_forced-1 and isInterior() keeps them verbatim)
+        forced: list[np.ndarray] = []
+        for p in self._forced:
+            if not any(float(((q - p) ** 2).sum()) <= 1e-30
+                       for q in forced):
+                forced.append(p)
         # 1. snap every endpoint with the snap function
         if skip_snapping:
             snapped = raw
@@ -586,7 +604,7 @@ class Builder:
         for a, b in snapped:
             pts.append(a)
             pts.append(b)
-        verts: list[np.ndarray] = []
+        verts: list[np.ndarray] = list(forced)
         if pts:
             arr = np.stack(pts)
             uniq = np.unique(arr, axis=0)
@@ -636,21 +654,26 @@ class Builder:
                     edges.append((chain[0], chain[0]))
                     out_ids.append(iid)
         g = Graph(verts, edges, out_ids)
+        g.num_forced = len(forced)
         if self.simplify_edge_chains and self.snap.snap_radius > 0:
-            g = simplify_graph(g, self.snap.snap_radius)
+            g = simplify_graph(g, self.snap.snap_radius,
+                               forced_ids=frozenset(range(len(forced))))
+            g.num_forced = len(forced)
         return g
 
     def build_polygon(self):
         """Assemble a Polygon from the snapped directed edges
         (s2polygon_layer.d semantics; degenerate edges dropped)."""
-        from .polygon_ops import _assemble, _rings_to_polygon
+        from .polygon_ops import _assemble, _dedup_directed, _rings_to_polygon
 
         class _Snap:
             pass
         g = self.build_graph()
         holder = _Snap()
         holder.points = [g.vertices[k] for k in range(len(g.vertices))]
-        kept = [(u, v) for (u, v) in g.edges if u != v]
+        # s2polygon_layer.d GraphOptions: degenerate edges discarded and
+        # matched sibling pairs cancel (collapsed strips/seams vanish)
+        kept = _dedup_directed([(u, v) for (u, v) in g.edges if u != v])
         rings = _assemble(kept, holder)
         return _rings_to_polygon(rings)
 

@@ -635,3 +635,125 @@ def subtract_from_polyline(polygon, vertices):
     """Pieces of the polyline outside the polygon
     (s2polygon.d subtractFromPolyline)."""
     return _clip_polyline(polygon, vertices, keep_inside=False)
+
+
+def _cell_edge_incidence_mask(cell, p, tolerance_uv):
+    """s2polygon.d:2279-2293 getCellEdgeIncidenceMask: which of the
+    cell's four uv edges the point lies on, to within tolerance_uv.
+    Bit i corresponds to S2Cell.edge(i): 1=v_lo, 2=u_hi, 4=v_hi,
+    8=u_lo.  Returns 0 when p projects outside the cell's face."""
+    from .coords import valid_face_xyz_to_uv
+    comp = (float(p[0]), float(p[1]), float(p[2]))[cell.face % 3]
+    if (comp <= 0) if cell.face < 3 else (comp >= 0):
+        return 0
+    u, v = valid_face_xyz_to_uv(cell.face, float(p[0]), float(p[1]),
+                                float(p[2]))
+    mask = 0
+    if abs(v - cell.v_lo) <= tolerance_uv:
+        mask |= 1
+    if abs(u - cell.u_hi) <= tolerance_uv:
+        mask |= 2
+    if abs(v - cell.v_hi) <= tolerance_uv:
+        mask |= 4
+    if abs(u - cell.u_lo) <= tolerance_uv:
+        mask |= 8
+    return mask
+
+
+def _extract_chain_polyline(g, lo, hi):
+    """Recover one interior chain's snapped+simplified polyline from
+    the builder graph by its input-edge id range [lo, hi) — the
+    equivalent of the reference's one-S2PolylineLayer-per-chain
+    bookkeeping (s2polygon.d:2150-2155: each interior polyline is in
+    its own layer to keep edges in sequence)."""
+    ents = []
+    for (u, v), ids in zip(g.edges, g.input_edge_ids):
+        fl = ids if isinstance(ids, list) else [ids]
+        fl = [i for i in fl if lo <= i < hi]
+        if fl:
+            ents.append((min(fl), u, v))
+    if not ents:
+        return None
+    # stable: equal-id edges (one routed input edge -> several graph
+    # edges) keep their graph order, which follows the walk order
+    ents.sort(key=lambda t: t[0])
+    seq = [ents[0][1]]
+    for _, u, v in ents:
+        if v != seq[-1]:
+            seq.append(v)
+    if len(seq) < 2:
+        return None
+    return g.vertices[np.array(seq)]
+
+
+def simplify_edges_in_cell(polygon, cell, tolerance_uv, snap_radius_rad):
+    """s2polygon.d:2146-2198 simplifyEdgesInCell: split each loop into
+    boundary edges (both endpoints on the cell's uv boundary — passed
+    through unchanged, endpoints forced) and maximal interior chains
+    (simplified by the builder at snap_radius; endpoints that touch
+    the cell boundary are forced so they keep connecting to boundary
+    edges).  Returns a list of (n,3) polylines."""
+    from .builder import Builder, IdentitySnapFunction
+    b = Builder(IdentitySnapFunction(snap_radius_rad),
+                simplify_edge_chains=True)
+    boundary = []
+    chains = []
+    n_edges = 0
+    for ring in _oriented_rings(polygon):
+        v = np.asarray(ring, dtype=np.float64)
+        n = len(v)
+        masks = [_cell_edge_incidence_mask(cell, v[k], tolerance_uv)
+                 for k in range(n)]
+        in_interior = False
+        lo = None
+        for j in range(n):
+            a, c = v[j], v[(j + 1) % n]
+            m0, m1 = masks[j], masks[(j + 1) % n]
+            if m0 & m1:
+                # boundary edge: unchanged, vertices pinned
+                if in_interior:
+                    chains.append((lo, n_edges))
+                    in_interior = False
+                b.force_vertex(c)
+                boundary.append(np.stack([a, c]))
+            else:
+                if not in_interior:
+                    lo = n_edges
+                    in_interior = True
+                b.add_edge(a, c)
+                n_edges += 1
+                if m1:
+                    b.force_vertex(c)
+                    chains.append((lo, n_edges))
+                    in_interior = False
+        if in_interior:
+            chains.append((lo, n_edges))
+    g = b.build_graph()
+    out = list(boundary)
+    for lo, hi in chains:
+        pl = _extract_chain_polyline(g, lo, hi)
+        if pl is not None:
+            out.append(pl)
+    return out
+
+
+def initialize_to_simplified_in_cell(polygon, cell, snap_radius_rad,
+                                     boundary_tolerance_rad=1e-15):
+    """s2polygon.d:993-1060 initializeToSimplifiedInCell: simplify a
+    polygon that was previously clipped to `cell`, preserving edges and
+    vertices on the cell boundary so that per-cell results from a tiled
+    decomposition still line up exactly along shared cell borders.
+
+    Two passes: (1) simplify only the interior edge chains with
+    forced endpoints on the cell boundary; (2) reassemble all
+    polylines at INTERSECTION_ERROR snap radius (sibling seams cancel,
+    degenerate strips vanish)."""
+    from .builder import Builder, IdentitySnapFunction
+    from .edge_crossings import INTERSECTION_ERROR
+    tolerance_uv = math.sqrt(6.0) * float(boundary_tolerance_rad)
+    polylines = simplify_edges_in_cell(polygon, cell, tolerance_uv,
+                                       snap_radius_rad)
+    b = Builder(IdentitySnapFunction(INTERSECTION_ERROR), idempotent=False)
+    for pl in polylines:
+        b.add_polyline(pl)
+    return b.build_polygon()
