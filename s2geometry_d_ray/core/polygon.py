@@ -14,17 +14,31 @@ class Polygon:
     """loops: list[Loop]; containment = xor over all loops' parities, which
     matches the reference for nested shell/hole hierarchies."""
 
-    __slots__ = ("loops", "bound")
+    __slots__ = ("loops", "bound", "is_full")
 
     def __init__(self, loops):
         assert loops
         self.loops = list(loops)
+        self.is_full = False
         b = LatLngRect.empty()
         for lp in self.loops:
             # Holes don't extend the bound, but unioning them is harmless
             # and conservative.
             b = b.union(lp.bound)
         self.bound = b
+
+    @classmethod
+    def full(cls):
+        """The whole-sphere polygon (s2polygon.d: one S2Loop.full()):
+        contains every point, area 4*pi, no boundary edges."""
+        p = cls.__new__(cls)
+        p.loops = []
+        p.is_full = True
+        p.bound = LatLngRect.full()
+        return p
+
+    def is_empty(self):
+        return not self.loops and not self.is_full
 
     @classmethod
     def from_rings_latlng(cls, rings):
@@ -42,6 +56,8 @@ class Polygon:
         points: (m, 3) unit vectors -> bool (m,).
         """
         p = np.asarray(points, dtype=np.float64)
+        if self.is_full:
+            return np.ones(len(p), dtype=bool)
         inside = np.zeros(len(p), dtype=bool)
         for lp in self.loops:
             inside ^= lp.contains_points(p)

@@ -298,6 +298,18 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     """op in {'union','intersection','difference'}; returns a Polygon or
     None (empty result).  Semantics follow s2polygon.d:766-905."""
     assert op in ("union", "intersection", "difference")
+    # Whole-sphere operands (s2polygon.d: the full polygon): identity /
+    # absorbing element.  difference(full, x) needs a complement, which
+    # this engine does not construct.
+    if getattr(a, "is_full", False) or getattr(b, "is_full", False):
+        if op == "union":
+            return Polygon.full()
+        if op == "intersection":
+            return b if getattr(a, "is_full", False) else a
+        if getattr(b, "is_full", False):      # difference: a \ full = 0
+            return None
+        raise NotImplementedError(
+            "difference(full, x) requires initializeToComplement")
     ra = _oriented_rings(a)
     rb = _oriented_rings(b)
     a0, a1 = _edges_of(ra)
@@ -517,6 +529,10 @@ def contains_polygon(a, b) -> bool:
         return True
     if a is None:
         return False
+    if getattr(a, "is_full", False):
+        return True
+    if getattr(b, "is_full", False):
+        return False
     area_b = polygon_area(b)
     inter = boolean_intersection(a, b)
     area_i = polygon_area(inter) if inter is not None else 0.0
@@ -527,6 +543,8 @@ def intersects_polygon(a, b) -> bool:
     """Interiors of a and b intersect (s2polygon.d intersects)."""
     if a is None or b is None:
         return False
+    if getattr(a, "is_full", False) or getattr(b, "is_full", False):
+        return True
     inter = boolean_intersection(a, b)
     return inter is not None and polygon_area(inter) > _area_tol(a, b)
 
@@ -540,6 +558,8 @@ def polygon_area(poly) -> float:
     fan integral returns s = -2*pi for a +2*pi left interior."""
     if poly is None:
         return 0.0
+    if getattr(poly, "is_full", False):
+        return 4.0 * math.pi
     total = 0.0
     for v in _oriented_rings(poly):
         s = loop_signed_area(v)

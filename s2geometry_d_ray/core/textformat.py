@@ -95,6 +95,9 @@ def make_polygon(text):
     from .loop import Loop as _Loop
     from .measures import loop_signed_area
     import math as _math
+    if text.strip() == "full":
+        # s2text_format.d: the whole-sphere polygon literal
+        return Polygon.full()
     rings = []
     for chunk in (t for t in text.split(";") if t.strip()):
         lp = make_loop(chunk, depth=0)

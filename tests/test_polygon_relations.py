@@ -1,7 +1,7 @@
 """The reference's S2PolygonTestBase.Relations table
 (test/s2/s2polygon_test.d:612-707): contains / contained / intersects
-over the near/far/south/cross/overlap fixture family (the `_full`
-polygon row is skipped — the engine has no all-sphere polygon literal).
+over the near/far/south/cross/overlap fixture family, including the
+`_full` whole-sphere polygon row (Polygon.full()).
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ def _fixtures():
         return FIX
     FIX.update({
         "empty": None,
+        "full": make_polygon("full"),
         "near10": _p(NEAR0, NEAR1),
         "near30": _p(NEAR3, NEAR0),
         "near32": _p(NEAR2, NEAR3),
@@ -102,6 +103,7 @@ def _fixtures():
 RELATIONS = [
     ("near10", "empty", True, False, False),
     ("near10", "near10", True, True, True),
+    ("full", "near10", True, False, True),
     ("near10", "near30", False, True, True),
     ("near10", "near32", False, False, False),
     ("near10", "near3210", False, True, True),
@@ -172,3 +174,26 @@ def test_relation(an, bn, contains, contained, intersects):
     assert po.contains_polygon(a, b) == contains, "contains"
     assert po.contains_polygon(b, a) == contained, "contained"
     assert po.intersects_polygon(a, b) == intersects, "intersects"
+
+
+def test_full_polygon_basics():
+    """s2polygon_test.d:712-718: the full polygon is non-empty, full,
+    contains itself and the empty polygon, and has area 4*pi."""
+    import math
+    full = make_polygon("full")
+    assert not full.is_empty()
+    assert full.is_full
+    assert po.contains_polygon(full, None)
+    assert po.contains_polygon(full, full)
+    assert not po.intersects_polygon(full, None)
+    assert abs(po.polygon_area(full) - 4 * math.pi) < 1e-14
+    near10 = _fixtures()["near10"]
+    assert po.polygon_area(po.boolean_union(full, near10)) \
+        == 4 * math.pi
+    inter = po.boolean_intersection(full, near10)
+    assert abs(po.polygon_area(inter) - po.polygon_area(near10)) < 1e-14
+    assert po.boolean_difference(near10, full) is None
+    # points anywhere are inside
+    import numpy as np
+    pts = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+    assert full.contains_points(pts).all()
