@@ -388,6 +388,79 @@ def geo_simplify(sf_dir):
     return pd.DataFrame(rows, columns=["n_nationkey", "n_in", "n_kept"])
 
 
+def geo_simplify_in_cell(sf_dir):
+    """Tiled per-cell simplification (s2polygon.d:960-992 use-case:
+    "geometry-processing pipelines that intersect polygons with a
+    collection of S2Cells and then process those cells in parallel"):
+    cover each polygon, clip it to every covering cell, then
+    initialize_to_simplified_in_cell keeps vertices on the cell
+    boundary pinned so neighbouring tiles still line up exactly.
+
+    Ray-Data shape: the (polygon x cell) task table is the Dataset;
+    polygons are broadcast once via ray.put and read per actor
+    (not re-shipped per batch); each tile is independent, so the stage
+    scales with cells, not polygon count.  Rows-only (boundary
+    construction is not SQL-expressible)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ..core.cell import Cell
+    from ..core.coverer import RegionCoverer
+    from ..core.loop import Loop
+    from ..core.metrics import MAX_DIAG
+    from ..core.polygon import Polygon
+    from ..core.polygon_ops import (boolean_intersection,
+                                    initialize_to_simplified_in_cell,
+                                    polygon_area)
+    from ..sources.polygons import make_polygons
+    del sf_dir
+    polys = {r["polygon_id"]: r["polygon"] for r in make_polygons(24)}
+    rc = RegionCoverer(max_cells=12, min_level=8, max_level=12)
+    tasks = []
+    for pid in sorted(polys):
+        for c in rc.get_covering(polys[pid]).tolist():
+            tasks.append({"polygon_id": int(pid),
+                          "cell_id": int(np.uint64(c).astype(np.int64))})
+    polys_ref = ray.put(polys)  # broadcast once, read in each actor
+
+    class SimplifyInCell:
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for pid, cid in zip(batch["polygon_id"].tolist(),
+                                batch["cell_id"].tolist()):
+                poly = self.polys[pid]
+                cid = int(np.int64(cid).astype(np.uint64))
+                cell = Cell(cid)
+                cellpoly = Polygon([Loop(np.stack(
+                    [np.asarray(cell.vertex(k)) for k in range(4)]))])
+                clipped = boolean_intersection(poly, cellpoly)
+                if clipped is None:
+                    continue
+                tol = 0.05 * MAX_DIAG.get_value(cell.level)
+                simp = initialize_to_simplified_in_cell(clipped, cell,
+                                                        tol)
+                n_in = sum(len(lp.vertices) for lp in clipped.loops)
+                n_out = 0 if simp is None else \
+                    sum(len(lp.vertices) for lp in simp.loops)
+                area_out = 0.0 if simp is None else polygon_area(simp)
+                rows.append((pid,
+                             str(ci.to_token(np.uint64([cid]))[0]),
+                             n_in, n_out,
+                             int(round(polygon_area(clipped) * 1e15)),
+                             int(round(area_out * 1e15))))
+            return pd.DataFrame(rows, columns=[
+                "polygon_id", "token", "n_in", "n_out",
+                "area_in_e15", "area_out_e15"])
+
+    return rd.from_items(tasks).map_batches(
+        SimplifyInCell, batch_format="pandas", batch_size=32,
+        concurrency=4)
+
+
+
 def geo_radius_join(sf_dir, radius_km=800.0):
     """Radius query: all (query, point) pairs within radius_km, squared
     chord distance, exactly reproduced in SQL (the distance-join /
@@ -443,6 +516,7 @@ QUERIES = {
     "geo_union_boundary": geo_union_boundary,
     "geo_snap_e6": geo_snap_e6,
     "geo_simplify": geo_simplify,
+    "geo_simplify_in_cell": geo_simplify_in_cell,
     "geo_radius_join": geo_radius_join,
 }
 

@@ -179,3 +179,45 @@ def test_interior_edges_snapped_to_boundary():
     if sic is not None:
         for lp in sic.loops:
             assert len(lp.vertices) >= 3
+
+
+def test_tiled_decomposition_boundary_pinning():
+    """The tiled-pipeline guarantee (s2polygon.d:966-971): after
+    clipping a polygon to a cell and simplifying in-cell, every output
+    vertex on the cell's uv boundary is an UNMOVED input vertex — so
+    two neighbouring tiles keep identical shared-border chains."""
+    from s2geometry_d_ray.core.coverer import RegionCoverer
+    from s2geometry_d_ray.core.metrics import MAX_DIAG
+    from s2geometry_d_ray.core.polygon_ops import (
+        _cell_edge_incidence_mask, boolean_intersection)
+    from s2geometry_d_ray.sources.polygons import make_polygons
+
+    checked = 0
+    for rec in make_polygons(6):
+        poly = rec["polygon"]
+        rc = RegionCoverer(max_cells=6, min_level=8, max_level=12)
+        for cid in rc.get_covering(poly).tolist()[:4]:
+            cell = Cell(int(cid))
+            cellpoly = Polygon(
+                [Loop(np.stack([np.asarray(cell.vertex(k))
+                                for k in range(4)]))])
+            clipped = boolean_intersection(poly, cellpoly)
+            if clipped is None:
+                continue
+            tol = 0.05 * MAX_DIAG.get_value(cell.level)
+            simp = po.initialize_to_simplified_in_cell(clipped, cell, tol)
+            if simp is None:
+                continue
+            tol_uv = 1e-12
+            in_bnd = [v for lp in clipped.loops for v in lp.vertices
+                      if _cell_edge_incidence_mask(cell, v, tol_uv)]
+            for lp in simp.loops:
+                for v in lp.vertices:
+                    if not _cell_edge_incidence_mask(cell, v, tol_uv):
+                        continue
+                    d = min(float(((np.asarray(w) - v) ** 2).sum())
+                            for w in in_bnd) if in_bnd else 1.0
+                    assert d < 1e-24, \
+                        "boundary vertex moved during in-cell simplify"
+                    checked += 1
+    assert checked > 0
