@@ -227,7 +227,12 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
     n = len(pts)
     if n <= 2:
         return list(range(n))
-    lim2 = float(radians_to_chord2(tolerance_rad))
+    # IdentitySnapFunction guarantees (snap_functions.d:80-90 +
+    # s2builder.d:564-566): avoid-candidates are sites within
+    # max_edge_deviation (1.1 r) + min_edge_vertex_separation (0.5 r)
+    # of the traversed edge; each is avoided by 0.5 r.
+    avoid_rad = 0.5 * tolerance_rad
+    lim2 = float(radians_to_chord2(1.6 * tolerance_rad))
     s = PolylineSimplifier()
     out = [0]
     s.initialize(pts[0])
@@ -251,7 +256,7 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
                 continue  # already considered / not yet relevant
             left = ordered_ccw(tuple(A), tuple(pts[d_idx]), tuple(X),
                                tuple(pts[c_idx]))
-            s.avoid_disc(X, tolerance_rad, bool(left))
+            s.avoid_disc(X, avoid_rad, bool(left))
 
     for i in range(1, n):
         add_avoids(anchor, i - 1, i)
@@ -284,10 +289,18 @@ def simplify_graph(g: Graph, tolerance_rad: float,
     m = len(g.edges)
     if m == 0:
         return g
+    # Degenerate (v, v) edges pass through unchanged and do not count
+    # toward degrees — the reference's EdgeChainSimplifier outputs them
+    # separately (s2builder.d:2223-2228); counting them would make every
+    # snap-collapsed vertex look like a junction and block simplification.
     out_deg = {}
     in_deg = {}
     out_edge = {}
+    degen = []
     for idx, (u, v) in enumerate(g.edges):
+        if u == v:
+            degen.append(idx)
+            continue
         out_deg[u] = out_deg.get(u, 0) + 1
         in_deg[v] = in_deg.get(v, 0) + 1
         out_edge.setdefault(u, []).append(idx)
@@ -297,6 +310,8 @@ def simplify_graph(g: Graph, tolerance_rad: float,
                 or out_deg.get(v, 0) != 1)
 
     visited = [False] * m
+    for idx in degen:
+        visited[idx] = True
     chains = []  # (vertex_id_seq, input_id_list_per_edge)
 
     def walk(e0):
@@ -387,6 +402,10 @@ def simplify_graph(g: Graph, tolerance_rad: float,
             out_ids.append(eid)
             used.add(u)
             used.add(v)
+    for idx in degen:  # degenerate edges pass through
+        edges.append(g.edges[idx])
+        i = g.input_edge_ids[idx]
+        out_ids.append(i if isinstance(i, list) else [i])
     return Graph(g.vertices, edges, out_ids)
 
 
@@ -641,24 +660,28 @@ class Builder:
             for cu, cv in zip(chain[:-1], chain[1:]):
                 edges.append((cu, cv))
                 out_ids.append(iid)
-                if self.edge_type == "undirected":
-                    # sibling pair (s2builder.d:1669-1680): undirected
-                    # input edges are represented as both directions,
-                    # same input id
-                    edges.append((cv, cu))
-                    out_ids.append(iid)
             if len(chain) == 1:  # fully degenerate after snapping
                 edges.append((chain[0], chain[0]))
                 out_ids.append(iid)
-                if self.edge_type == "undirected":
-                    edges.append((chain[0], chain[0]))
-                    out_ids.append(iid)
         g = Graph(verts, edges, out_ids)
         g.num_forced = len(forced)
         if self.simplify_edge_chains and self.snap.snap_radius > 0:
             g = simplify_graph(g, self.snap.snap_radius,
                                forced_ids=frozenset(range(len(forced))))
             g.num_forced = len(forced)
+        if self.edge_type == "undirected":
+            # sibling pairs (s2builder.d:1669-1680): undirected input is
+            # represented as both directions with the same input ids.
+            # Siblings are added AFTER simplification so undirected
+            # chains simplify exactly like their directed counterparts
+            # (the reference's InteriorVertexMatcher handles the
+            # combined multiplicities; emitting the reverse of each
+            # simplified edge is the single-layer equivalent).
+            n = len(g.edges)
+            for k in range(n):
+                u, v = g.edges[k]
+                g.edges.append((v, u))
+                g.input_edge_ids.append(g.input_edge_ids[k])
         return g
 
     def build_polygon(self):
@@ -671,10 +694,26 @@ class Builder:
         g = self.build_graph()
         holder = _Snap()
         holder.points = [g.vertices[k] for k in range(len(g.vertices))]
-        # s2polygon_layer.d GraphOptions: degenerate edges discarded and
-        # matched sibling pairs cancel (collapsed strips/seams vanish)
-        kept = _dedup_directed([(u, v) for (u, v) in g.edges if u != v])
-        rings = _assemble(kept, holder)
+        if self.edge_type == "undirected":
+            # s2polygon_layer.d with EdgeType.UNDIRECTED: both directions
+            # of every edge are present; the leftmost-turn walk then
+            # traverses each FACE of the subdivision once, and the
+            # interior-on-left (positive-area) faces are the polygon
+            # rings (the complement face comes out clockwise and is
+            # dropped).  Parity containment makes this correct for
+            # nested rings too (a hole's CCW face xors against its
+            # shell).
+            from .measures import loop_signed_area
+            kept = [(u, v) for (u, v) in g.edges if u != v]
+            rings = [r for r in _assemble(kept, holder)
+                     if loop_signed_area(r) > 0]
+        else:
+            # s2polygon_layer.d GraphOptions: degenerate edges discarded
+            # and matched sibling pairs cancel (collapsed strips/seams
+            # vanish)
+            kept = _dedup_directed([(u, v) for (u, v) in g.edges
+                                    if u != v])
+            rings = _assemble(kept, holder)
         return _rings_to_polygon(rings)
 
     def build_polyline(self):

@@ -353,3 +353,126 @@ def test_idempotency_passthrough_when_separated():
     b3.add_polyline(out2)
     out3 = b3.build_polyline()
     assert np.allclose(out3, out2, atol=0)
+
+
+# -- simplify-family tests ported from s2builder_test.d:520-760 ----------
+
+
+def _polyline_ll(text):
+    from s2geometry_d_ray.core.textformat import parse_points
+    return parse_points(text)
+
+
+def _to_llstr(pts, nd=5):
+    out = []
+    for p in np.asarray(pts):
+        lat, lng = coords.xyz_to_latlng(p[0], p[1], p[2])
+        out.append(f"{round(float(lat), nd):g}:{round(float(lng), nd):g}")
+    return ", ".join(out)
+
+
+def test_simplify_one_edge():
+    """s2builder_test.d SimplifyOneEdge: a perturbed chain collapses to
+    one edge at snap radius 1 degree."""
+    for edge_type in ("directed", "undirected"):
+        b = bu.Builder(bu.IdentitySnapFunction(math.radians(1.0)),
+                       simplify_edge_chains=True, edge_type=edge_type)
+        b.add_polyline(_polyline_ll(
+            "0:0, 1:0.5, 2:-0.5, 3:0.5, 4:-0.5, 5:0"))
+        out = b.build_polyline()
+        assert _to_llstr(out) == "0:0, 5:0", (edge_type, _to_llstr(out))
+
+
+def test_simplify_one_loop():
+    """s2builder_test.d SimplifyOneLoop: 1000-vertex 20-degree regular
+    loop at 1-degree snap radius simplifies to 10-12 vertices that stay
+    within snap_radius of the input boundary."""
+    from s2geometry_d_ray.core.edge import edge_distances2
+    input_loop = Loop.make_regular(0.0, 0.0, math.radians(20.0), 1000)
+    b = bu.Builder(bu.IdentitySnapFunction(math.radians(1.0)),
+                   simplify_edge_chains=True)
+    b.add_loop(input_loop.vertices)
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    nv = len(out.loops[0].vertices)
+    assert 10 <= nv <= 12, nv
+    # every input vertex within snap_radius of the simplified boundary
+    sv = out.loops[0].vertices
+    d2 = edge_distances2(input_loop.vertices, sv,
+                         np.roll(sv, -1, axis=0)).min(axis=1)
+    assert float(np.sqrt(d2).max()) <= math.radians(1.0) * 1.0000001
+
+
+def test_simplify_keeps_forced_vertices():
+    """s2builder_test.d SimplifyKeepsForcedVertices: collinear interior
+    vertices simplify away except the forced one."""
+    b = bu.Builder(bu.IdentitySnapFunction(1e-15),
+                   simplify_edge_chains=True)
+    b.add_polyline(_polyline_ll("0:0, 0:1, 0:2, 0:3"))
+    b.force_vertex(ll(0, 1))
+    out = b.build_polyline()
+    assert _to_llstr(out) == "0:0, 0:1, 0:3", _to_llstr(out)
+
+
+def test_simplify_keeps_edge_vertex_separation():
+    """s2builder_test.d SimplifyKeepsEdgeVertexSeparation: a chain that
+    could straighten must not, because the straightened edge would pass
+    too close to another chain's vertex."""
+    b = bu.Builder(bu.IdentitySnapFunction(math.radians(1.0)),
+                   simplify_edge_chains=True)
+    b.add_polyline(_polyline_ll("0:-10, 0.99:0, 0:10"))
+    b.add_polyline(_polyline_ll("-5:-5, -0.2:0, -5:5"))
+    outs = b.build_polyline_vector()
+    assert len(outs) == 2
+    assert _to_llstr(outs[0]) == "0:-10, 0.99:0, 0:10"
+    assert _to_llstr(outs[1]) == "-5:-5, -0.2:0, -5:5"
+
+
+def test_snapping_does_not_rotate_vertices():
+    """s2builder_test.d SnappingDoesNotRotateVertices: leaf-cell-center
+    snapping twice is a fixed point (idempotent output, same cyclic
+    order)."""
+    from s2geometry_d_ray.core.textformat import make_polygon
+    inp = make_polygon(
+        "49.9305505:-124.8345463, 49.9307448:-124.8299657, "
+        "49.9332101:-124.8301996, 49.9331224:-124.8341368; "
+        "49.9311087:-124.8327042, 49.9318176:-124.8312621, "
+        "49.9318866:-124.8334451")
+    snap = bu.CellIdSnapFunction(30)
+    b1 = bu.Builder(snap)
+    b1.add_polygon(inp)
+    out1 = b1.build_polygon()
+    assert out1 is not None
+    # vertices moved by at most snap_radius
+    allv_in = np.concatenate([lp.vertices for lp in inp.loops])
+    allv_out = np.concatenate([lp.vertices for lp in out1.loops])
+    assert len(allv_in) == len(allv_out)
+    for p in allv_out:
+        assert min(_angle(p, q) for q in allv_in) <= snap.snap_radius
+    b2 = bu.Builder(snap)
+    b2.add_polygon(out1)
+    out2 = b2.build_polygon()
+    v1 = np.concatenate([lp.vertices for lp in out1.loops])
+    v2 = np.concatenate([lp.vertices for lp in out2.loops])
+    assert len(v1) == len(v2)
+    assert max(_angle(np.asarray(a), np.asarray(bb)) for a, bb in
+               zip(sorted(map(tuple, v1)), sorted(map(tuple, v2)))) == 0.0
+
+
+def test_self_intersecting_polygon():
+    """s2builder_test.d SelfIntersectingPolygon: a bowtie polyline with
+    split_crossing_edges assembles into two triangles sharing the
+    intersection vertex (E1 snapping)."""
+    b = bu.Builder(bu.IntLatLngSnapFunction(1), split_crossing_edges=True,
+                   edge_type="undirected")
+    b.add_polyline(_polyline_ll("3:1, 1:3, 1:1, 3:3, 3:1"))
+    out = b.build_polygon()
+    assert out is not None
+    assert len(out.loops) == 2
+    got = sorted(_to_llstr(np.round(lp.vertices, 12))
+                 for lp in out.loops)
+    allv = np.concatenate([lp.vertices for lp in out.loops])
+    # both triangles contain the snapped crossing vertex 2:2
+    cross = ll(2, 2)
+    assert sum(_angle(cross, v) < math.radians(0.2) for v in allv) == 2
+    assert sum(len(lp.vertices) for lp in out.loops) == 6
