@@ -21,16 +21,21 @@ Also covered:
     input edge contributes both directions to the graph (sibling
     pairs, ``s2builder.d:1669-1680``); the polyline layer stitches
     chains allowing reversal;
-  - simplify_edge_chains (``s2builder.d:446-450``): maximal chains
-    through interior degree-(1,1) vertices are simplified with the
-    spherical Douglas-Peucker simplifier under the snap_radius
-    tolerance; forced vertices (junctions, endpoints) are preserved,
-    and a conservative post-check reverts any chain whose simplified
-    edges would introduce a crossing with another chain (the
-    reference avoids this by construction inside its simplifier).
-
-Not covered (documented gaps vs the reference): the full
-min-edge-vertex-separation rerouting and idempotency detection."""
+  - simplify_edge_chains (``s2builder.d:446-450`` + EdgeChainSimplifier
+    ``s2builder.d:2158-2560``): maximal chains through interior vertices
+    (InteriorVertexMatcher multiplicity rules) are simplified with the
+    ported S2PolylineSimplifier under the snap-radius tolerance with
+    target/avoid discs, monotone-distance and max-edge-deviation
+    guards; multi-traversal chains merge with per-traversal input-id
+    assignment (mergeChain); forced vertices never move or vanish;
+    a conservative post-check reverts any chain whose simplified edges
+    would cross another chain;
+  - forceVertex (``s2builder.d:783``), idempotency detection
+    (snappingNeeded), and addExtraSites / getSeparationSite
+    (``s2builder.d:1251-1401``): snapped edges keep
+    min_edge_vertex_separation from non-incident sites and stay within
+    max_edge_deviation of their input edge, adding separation sites on
+    the input edge where needed."""
 
 from __future__ import annotations
 
@@ -50,6 +55,9 @@ class IdentitySnapFunction:
 
     def __init__(self, snap_radius_rad=0.0):
         self.snap_radius = float(snap_radius_rad)
+        # snap_functions.d:80-90: edges end up separated from
+        # non-incident vertices by at least half the vertex separation
+        self.min_edge_vertex_separation = 0.5 * self.snap_radius
 
     def snap_point(self, p):
         return np.asarray(p, dtype=np.float64)
@@ -67,6 +75,8 @@ class IntLatLngSnapFunction:
         # max snap movement: half-diagonal of a grid cell
         self.snap_radius = math.radians(1.0 / scale) * (0.5 * math.sqrt(2)
                                                         ) * 1.05
+        # snap_functions.d: worst-case ratio for grid snap functions
+        self.min_edge_vertex_separation = 0.219 * self.snap_radius
 
     def snap_point(self, p):
         p = np.asarray(p, dtype=np.float64)
@@ -89,6 +99,8 @@ class CellIdSnapFunction:
         self.level = int(level)
         from .metrics import MAX_DIAG
         self.snap_radius = 0.5 * MAX_DIAG.get_value(self.level) * 1.05
+        # snap_functions.d: S2CellIdSnapFunction worst case (0.219 r)
+        self.min_edge_vertex_separation = 0.219 * self.snap_radius
 
     @staticmethod
     def level_for_max_snap_radius(radius_rad):
@@ -233,6 +245,15 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
     # of the traversed edge; each is avoided by 0.5 r.
     avoid_rad = 0.5 * tolerance_rad
     lim2 = float(radians_to_chord2(1.6 * tolerance_rad))
+    # avoidSites guards (s2builder.d:2455-2470): the distance from the
+    # chain start must grow monotonically (no geometric simplification
+    # of backtracking chains), and a simplified edge may not grow past
+    # min_edge_length_to_split (its midpoint could then deviate more
+    # than max_edge_deviation from the input edges).
+    s_ratio = math.sin(tolerance_rad) / math.sin(1.1 * tolerance_rad) \
+        if tolerance_rad > 0 else 1.0
+    min_split = 2.0 * math.acos(min(1.0, s_ratio))
+    min_split2 = float(radians_to_chord2(min(math.pi * 0.99, min_split)))
     s = PolylineSimplifier()
     out = [0]
     s.initialize(pts[0])
@@ -259,8 +280,11 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
             s.avoid_disc(X, avoid_rad, bool(left))
 
     for i in range(1, n):
+        r1c = float(((pts[anchor] - pts[i - 1]) ** 2).sum())
+        r2c = float(((pts[anchor] - pts[i]) ** 2).sum())
+        ok = (i - 1 == anchor) or (r2c >= r1c and r2c < min_split2)
         add_avoids(anchor, i - 1, i)
-        if not s.extend(pts[i]):
+        if not ok or not s.extend(pts[i]):
             out.append(i - 1)
             anchor = i - 1
             s.initialize(pts[i - 1])
@@ -273,110 +297,151 @@ def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
 
 def simplify_graph(g: Graph, tolerance_rad: float,
                    forced_ids: frozenset = frozenset()) -> Graph:
-    """simplify_edge_chains (s2builder.d:446-450): collapse chains of
-    interior degree-(1 in, 1 out) vertices using the ported
-    S2PolylineSimplifier at the snap-radius tolerance — every removed
-    vertex is a target disc of the surviving edge, and vertices of
-    other chains near the path are avoid discs with side bits, so
-    topology wrt them is preserved (the reference's guarantee).
+    """simplify_edge_chains (s2builder.d:446-450 + EdgeChainSimplifier
+    s2builder.d:2158-2560): collapse chains of interior vertices using
+    the ported S2PolylineSimplifier at the snap-radius tolerance —
+    every removed vertex is a target disc of the surviving edge, and
+    vertices of other chains near the path are avoid discs with side
+    bits, so topology wrt them is preserved.
 
-    Forced vertices (chain ends, junctions, vertices with in-degree
-    != 1 or out-degree != 1) never move or disappear; merged output
-    edges carry the union of their constituent input-edge ids (lists).
+    Interior vertices follow the reference's InteriorVertexMatcher: not
+    forced, indegree == outdegree, adjacent to exactly two vertices
+    with equal edge multiplicities toward each.  A chain traversed M
+    times forward and N times backward merges into M+N copies of each
+    simplified edge, each carrying the input-edge ids of one traversal
+    (mergeChain semantics) — this is what makes backtracking polylines
+    simplify parametrically.  Output edges are ordered by minimum input
+    id, matching the reference layers' input-order reassembly.
+
     A conservative POST-check additionally reverts any chain whose
     simplified edges would cross another chain's edges."""
+    from collections import Counter, defaultdict
 
     m = len(g.edges)
     if m == 0:
         return g
+
+    def flat(i):
+        return list(i) if isinstance(i, list) else [i]
+
     # Degenerate (v, v) edges pass through unchanged and do not count
-    # toward degrees — the reference's EdgeChainSimplifier outputs them
-    # separately (s2builder.d:2223-2228); counting them would make every
-    # snap-collapsed vertex look like a junction and block simplification.
-    out_deg = {}
-    in_deg = {}
-    out_edge = {}
+    # toward degrees (the reference outputs them separately,
+    # s2builder.d:2223-2228).
+    out_deg = Counter()
+    in_deg = Counter()
+    adj = defaultdict(Counter)           # v -> neighbor -> #edges (both dirs)
+    by_pair = defaultdict(list)          # (u, v) -> [edge idx]
     degen = []
     for idx, (u, v) in enumerate(g.edges):
         if u == v:
             degen.append(idx)
             continue
-        out_deg[u] = out_deg.get(u, 0) + 1
-        in_deg[v] = in_deg.get(v, 0) + 1
-        out_edge.setdefault(u, []).append(idx)
+        out_deg[u] += 1
+        in_deg[v] += 1
+        adj[u][v] += 1
+        adj[v][u] += 1
+        by_pair[(u, v)].append(idx)
 
-    def forced(v):
-        return (v in forced_ids or in_deg.get(v, 0) != 1
-                or out_deg.get(v, 0) != 1)
+    def interior(v):
+        if v in forced_ids:
+            return False
+        if out_deg[v] == 0 or out_deg[v] != in_deg[v]:
+            return False
+        nb = adj[v]
+        if len(nb) != 2:
+            return False
+        c1, c2 = nb.values()
+        return c1 == c2
 
-    visited = [False] * m
+    def follow(vprev, v):
+        for nxt in adj[v]:
+            if nxt != vprev:
+                return nxt
+        return vprev
+
+    used = [False] * m
     for idx in degen:
-        visited[idx] = True
-    chains = []  # (vertex_id_seq, input_id_list_per_edge)
+        used[idx] = True
+    chains = []   # (vertex_seq, spans); spans[k] = (fwd_idx_list, bwd_idx_list)
 
     def walk(e0):
-        seq = [g.edges[e0][0], g.edges[e0][1]]
-        ids = [g.input_edge_ids[e0]]
-        visited[e0] = True
-        while not forced(seq[-1]) and seq[-1] != seq[0]:
-            nxt = out_edge[seq[-1]][0]
-            if visited[nxt]:
-                break
-            visited[nxt] = True
-            seq.append(g.edges[nxt][1])
-            ids.append(g.input_edge_ids[nxt])
-        chains.append((seq, ids))
+        u0, v0 = g.edges[e0]
+        seq = [u0, v0]
+        while interior(seq[-1]) and seq[-1] != seq[0]:
+            seq.append(follow(seq[-2], seq[-1]))
+        spans = []
+        for a, b in zip(seq[:-1], seq[1:]):
+            fwd = sorted(by_pair.get((a, b), []),
+                         key=lambda i: min(flat(g.input_edge_ids[i])))
+            bwd = sorted(by_pair.get((b, a), []),
+                         key=lambda i: min(flat(g.input_edge_ids[i])))
+            for i in fwd:
+                used[i] = True
+            for i in bwd:
+                used[i] = True
+            spans.append((fwd, bwd))
+        chains.append((seq, spans))
 
     for e0 in range(m):
-        if not visited[e0] and forced(g.edges[e0][0]):
+        if not used[e0] and not interior(g.edges[e0][0]):
             walk(e0)
-    for e0 in range(m):  # remaining pure cycles: anchor arbitrarily
-        if not visited[e0]:
+    for e0 in range(m):   # remaining pure cycles: anchor arbitrarily
+        if not used[e0]:
             walk(e0)
-
-    def flat_ids(ids):
-        out = []
-        for i in ids:
-            out.extend(i if isinstance(i, list) else [i])
-        return out
 
     chain_vertex_sets = [set(seq) for seq, _ in chains]
     all_vertices_used = set()
     for cs in chain_vertex_sets:
         all_vertices_used |= cs
 
-    simplified = []
-    for ci_, (seq, ids) in enumerate(chains):
+    def original_edges(seq, spans):
+        out = []
+        for (a, b), (fwd, bwd) in zip(zip(seq[:-1], seq[1:]), spans):
+            for i in fwd:
+                out.append(((a, b), flat(g.input_edge_ids[i])))
+            for i in bwd:
+                out.append(((b, a), flat(g.input_edge_ids[i])))
+        return out
+
+    simplified = []   # per chain: (list[(edge, ids)], changed)
+    for ci_, (seq, spans) in enumerate(chains):
+        M = len(spans[0][0])
+        N = len(spans[0][1])
+        uniform = all(len(f) == M and len(b) == N for f, b in spans)
         pts = g.vertices[np.array(seq)]
         other_ids = sorted(all_vertices_used - chain_vertex_sets[ci_])
         avoid_pts = g.vertices[np.array(other_ids)] if other_ids \
             else np.empty((0, 3))
         keep = _simplifier_chain_walk(pts, tolerance_rad, avoid_pts)
-        if len(keep) == len(seq):
-            simplified.append((seq, [list(flat_ids([i])) for i in ids],
-                               False))
+        if len(keep) == len(seq) or not uniform:
+            simplified.append((original_edges(seq, spans), False))
             continue
-        new_seq = [seq[k] for k in keep]
-        # distribute the merged input ids over the surviving edges
-        new_ids = []
-        for a, b in zip(keep[:-1], keep[1:]):
-            new_ids.append(flat_ids(ids[a:b]))
-        simplified.append((new_seq, new_ids, True))
+        out = []
+        for ka, kb in zip(keep[:-1], keep[1:]):
+            span_slice = spans[ka:kb]
+            for t in range(M):
+                ids: list = []
+                for fwd, _ in span_slice:
+                    ids.extend(flat(g.input_edge_ids[fwd[t]]))
+                out.append(((seq[ka], seq[kb]), sorted(set(ids))))
+            for t in range(N):
+                ids = []
+                for _, bwd in span_slice:
+                    ids.extend(flat(g.input_edge_ids[bwd[t]]))
+                out.append(((seq[kb], seq[ka]), sorted(set(ids))))
+        simplified.append((out, True))
 
     # conservative new-crossing check between different chains
-    def chain_edges(entry):
-        seq, ids, _ = entry
-        return [(seq[k], seq[k + 1]) for k in range(len(seq) - 1)]
-
-    changed = [k for k, e in enumerate(simplified) if e[2]]
-    for k in changed:
+    for k, (edges_k, changed) in enumerate(simplified):
+        if not changed:
+            continue
         bad = False
-        for (u1, v1) in chain_edges(simplified[k]):
+        for (u1, v1), _ in edges_k:
             a1, b1 = g.vertices[u1], g.vertices[v1]
-            for k2, other in enumerate(simplified):
+            for k2, (edges_o, _) in enumerate(simplified):
                 if k2 == k:
                     continue
-                for (u2, v2) in chain_edges(other):
+                for (u2, v2), _ in edges_o:
                     if len({u1, v1, u2, v2}) < 4:
                         continue
                     if crossing_sign(tuple(a1), tuple(b1),
@@ -388,25 +453,51 @@ def simplify_graph(g: Graph, tolerance_rad: float,
                     break
             if bad:
                 break
-        if bad:  # revert this chain to its unsimplified form
-            seq, ids = chains[k]
-            simplified[k] = (seq, [flat_ids([i]) for i in ids], False)
+        if bad:   # revert this chain to its unsimplified form
+            seq, spans = chains[k]
+            simplified[k] = (original_edges(seq, spans), False)
 
-    edges = []
-    out_ids = []
-    used = set()
-    for seq, ids, _ in simplified:
-        for (u, v), eid in zip(
-                ((seq[k], seq[k + 1]) for k in range(len(seq) - 1)), ids):
-            edges.append((u, v))
-            out_ids.append(eid)
-            used.add(u)
-            used.add(v)
-    for idx in degen:  # degenerate edges pass through
-        edges.append(g.edges[idx])
-        i = g.input_edge_ids[idx]
-        out_ids.append(i if isinstance(i, list) else [i])
-    return Graph(g.vertices, edges, out_ids)
+    records = []
+    for edges_k, _ in simplified:
+        records.extend(edges_k)
+    for idx in degen:   # degenerate edges pass through
+        records.append((g.edges[idx], flat(g.input_edge_ids[idx])))
+    # reference layers reassemble by input order: sort by min input id
+    records.sort(key=lambda rec: min(rec[1]) if rec[1] else -1)
+    return Graph(g.vertices, [e for e, _ in records],
+                 [i for _, i in records])
+
+
+def _coverage_endpoint(p, x, y, n, r):
+    """s2builder.d getCoverageEndpoint: intersect edge XY (normal n)
+    with the disc of radius r around P; return the intersection point
+    further along XY toward Y."""
+    n2 = float(n @ n)
+    n_dp = float(n @ p)
+    n_xp = np.cross(n, p)
+    n_xp_xn = n2 * p - n_dp * n
+    sin2_r = math.sin(r) ** 2
+    om = math.sqrt(max(0.0, 1.0 - sin2_r)) * n_xp_xn
+    mr2 = sin2_r * n2 - n_dp * n_dp
+    mr = math.sqrt(max(0.0, mr2)) * n_xp
+    out = om + mr
+    return out / np.linalg.norm(out)
+
+
+def _separation_site(snap, site_to_avoid, v0, v1, x, y, r):
+    """s2builder.d getSeparationSite: a new site on the input edge XY,
+    clamped into the coverage gap between chain sites v0 and v1."""
+    n = np.cross(x, y)
+    w = site_to_avoid - (float(site_to_avoid @ n) / float(n @ n)) * n
+    new_site = w / np.linalg.norm(w)
+    gap_min = _coverage_endpoint(v0, x, y, n, r)
+    gap_max = _coverage_endpoint(v1, y, x, -n, r)
+    xy_dir = y - x
+    if float((new_site - gap_min) @ xy_dir) < 0:
+        new_site = gap_min
+    elif float((gap_max - new_site) @ xy_dir) < 0:
+        new_site = gap_max
+    return snap.snap_point(new_site)
 
 
 def _snap_edge_chain(x, y, u_site, v_site, site_arr, r):
@@ -535,6 +626,84 @@ class Builder:
                     return True
         return False
 
+    # -- extra sites (s2builder.d addExtraSites) -----------------------
+    def _add_extra_sites(self, raw, snapped, site_arr, num_forced, r):
+        """For each input edge, re-snap and check the chain; add a
+        separation site when a snapped edge deviates too far from the
+        input edge or passes too close to a non-forced site, then
+        re-snap all affected earlier edges (the reference's queue).
+        Chains and deviation checks run against the RAW input edges;
+        only endpoint-site lookup uses the snapped endpoints."""
+        from .edge import edge_distances2, radians_to_chord2
+        max_dev = 1.1 * r
+        sep = getattr(self.snap, "min_edge_vertex_separation", 0.5 * r)
+        query2 = float(radians_to_chord2(min(math.pi, max_dev + sep)))
+        ax = np.stack([a for a, _ in raw])
+        ay = np.stack([b for _, b in raw])
+        guard = 8 * len(raw) + 64   # runaway backstop
+        for max_e in range(len(raw)):
+            queue = [max_e]
+            while queue and guard > 0:
+                guard -= 1
+                e = queue.pop()
+                x, y = raw[e]
+                sa, sb = snapped[e]
+                u = int(np.argmin(((site_arr - sa) ** 2).sum(axis=1)))
+                v = int(np.argmin(((site_arr - sb) ** 2).sum(axis=1)))
+                chain = _snap_edge_chain(x, y, u, v, site_arr, r)
+                new_site = self._find_extra_site(x, y, chain, site_arr,
+                                                 num_forced, r)
+                if new_site is None:
+                    continue
+                site_arr = np.vstack([site_arr, new_site[None, :]])
+                d2 = edge_distances2(new_site[None, :], ax, ay)[0]
+                for e2 in np.flatnonzero(d2 <= query2).tolist():
+                    if e2 <= max_e:
+                        queue.append(e2)
+        return site_arr
+
+    def _find_extra_site(self, x, y, chain, site_arr, num_forced, r):
+        """s2builder.d maybeAddExtraSites: walk the edge's candidate
+        sites in parallel with the snapped chain; return a new
+        separation site or None."""
+        from .distance_predicates import compare_edge_distance
+        from .edge import (edge_distances2, is_edge_b_near_edge_a,
+                           project, radians_to_chord2)
+        max_dev = 1.1 * r
+        sep = getattr(self.snap, "min_edge_vertex_separation", 0.5 * r)
+        query2 = float(radians_to_chord2(min(math.pi, max_dev + sep)))
+        sep2 = float(radians_to_chord2(sep))
+        s_ratio = math.sin(r) / math.sin(max_dev)
+        min_split = 2.0 * math.acos(min(1.0, s_ratio))
+        min_split2 = float(radians_to_chord2(min(math.pi, min_split)))
+        d2e = edge_distances2(site_arr, x[None, :], y[None, :])[:, 0]
+        cand = np.flatnonzero(d2e <= query2)
+        t = ((site_arr[cand] - x[None, :]) ** 2).sum(axis=1)
+        cand = cand[np.argsort(t, kind="stable")].tolist()
+        i = 0
+        for sid in cand:
+            if i < len(chain) and sid == chain[i]:
+                i += 1
+                if i == len(chain):
+                    break
+                v0 = site_arr[chain[i - 1]]
+                v1 = site_arr[chain[i]]
+                if float(((v0 - v1) ** 2).sum()) < min_split2:
+                    continue
+                if not is_edge_b_near_edge_a(x, y, v0, v1, max_dev):
+                    mid = project(v0, x, y) + project(v1, x, y)
+                    mid = mid / np.linalg.norm(mid)
+                    return _separation_site(self.snap, mid, v0, v1,
+                                            x, y, r)
+            elif i > 0 and i < len(chain) and sid >= num_forced:
+                v0 = site_arr[chain[i - 1]]
+                v1 = site_arr[chain[i]]
+                if compare_edge_distance(site_arr[sid], v0, v1,
+                                         sep2) < 0:
+                    return _separation_site(self.snap, site_arr[sid],
+                                            v0, v1, x, y, r)
+        return None
+
     # -- input ---------------------------------------------------------
     def add_edge(self, a, b):
         self._edges.append((np.asarray(a, dtype=np.float64),
@@ -647,14 +816,26 @@ class Builder:
             d2 = ((site_arr - p) ** 2).sum(axis=1)
             return int(np.argmin(d2))
 
+        # addExtraSites (s2builder.d:1251-1348): guarantee that snapped
+        # edges stay within max_edge_deviation of their input edge and
+        # at least min_edge_vertex_separation from non-incident sites,
+        # by inserting "separation sites" on the input edge where needed.
+        if (not skip_snapping and r > 0 and len(site_arr) >= 2
+                and len(raw) > 0):
+            site_arr = self._add_extra_sites(raw, snapped, site_arr,
+                                             len(forced), r)
+            verts = [site_arr[k] for k in range(len(site_arr))]
+
         edges = []
         out_ids = []
         r = self.snap.snap_radius
-        for (a, b), iid in zip(snapped, input_ids):
+        for (ra, rb), (a, b), iid in zip(raw, snapped, input_ids):
             u, v = site_for(a), site_for(b)
             # min-edge-vertex-separation: route the edge through every
-            # site whose clipped Voronoi region it crosses (snapEdge)
-            chain = _snap_edge_chain(a, b, u, v, site_arr, r) \
+            # site whose clipped Voronoi region it crosses.  snapEdge
+            # operates on the RAW input edge (s2builder.d:1447-1448
+            # uses _inputVertices), not the snapped endpoints.
+            chain = _snap_edge_chain(ra, rb, u, v, site_arr, r) \
                 if r > 0 and len(site_arr) > 2 and not skip_snapping \
                 else [u, v]
             for cu, cv in zip(chain[:-1], chain[1:]):

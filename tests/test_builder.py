@@ -476,3 +476,82 @@ def test_self_intersecting_polygon():
     cross = ll(2, 2)
     assert sum(_angle(cross, v) < math.radians(0.2) for v in allv) == 2
     assert sum(len(lp.vertices) for lp in out.loops) == 6
+
+
+def test_min_edge_vertex_separation():
+    """s2builder_test.d MinEdgeVertexSeparation: a skinny right triangle
+    whose long leg snaps partly onto its subdivided diagonal; S2Builder
+    must create a separation site along the leg (vertex ~4.0002:0 in the
+    expected output) so the remaining snapped edge keeps its distance
+    from the diagonal vertices."""
+    from s2geometry_d_ray.core.textformat import make_polygon
+    inp = make_polygon(
+        "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, 6:.4, 7:.3, 8:.2, "
+        "9:.1, 10:0")
+    expected = make_polygon(
+        "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, 4.00021862252687:0")
+    b = bu.Builder(bu.IdentitySnapFunction(math.radians(0.5)))
+    b.add_polygon(inp)
+    out = b.build_polygon()
+    assert out is not None and len(out.loops) == 1
+    got = out.loops[0].vertices
+    exp = expected.loops[0].vertices
+    assert len(got) == len(exp), (len(got), len(exp))
+    # cyclic match within 1e-15 rad
+    n = len(exp)
+    best = min(max(_angle(got[(s + k) % n], exp[k]) for k in range(n))
+               for s in range(n))
+    assert best <= 1e-9, best
+
+
+def test_tie_breaking_is_consistent():
+    """s2builder_test.d TieBreakingIsConsistent: an edge passing exactly
+    between two equidistant forced vertices snaps through the same one
+    regardless of edge direction."""
+    b1 = bu.Builder(bu.IdentitySnapFunction(math.radians(2.0)),
+                    idempotent=False)
+    b1.force_vertex(ll(1, 0))
+    b1.force_vertex(ll(-1, 0))
+    b1.add_polyline(np.stack([ll(0, -5), ll(0, 5)]))
+    out1 = b1.build_polyline()
+    b2 = bu.Builder(bu.IdentitySnapFunction(math.radians(2.0)),
+                    idempotent=False)
+    b2.force_vertex(ll(1, 0))
+    b2.force_vertex(ll(-1, 0))
+    b2.add_polyline(np.stack([ll(0, 5), ll(0, -5)]))
+    out2 = b2.build_polyline()
+    assert len(out1) == 3 and len(out2) == 3
+    assert np.allclose(out1, out2[::-1], rtol=0, atol=0)
+
+
+def test_max_snap_radius_covers_level0():
+    """s2builder_test.d kMaxSnapRadiusCanSnapAtLevel0: the level-0 cell
+    snap radius fits under the 70-degree builder maximum."""
+    from s2geometry_d_ray.core.metrics import MAX_DIAG
+    # reference formula: minSnapRadiusForLevel = 0.5 * MAX_DIAG(level)
+    assert 0.5 * MAX_DIAG.get_value(0) <= math.radians(70.0)
+
+
+def test_simplify_backtracking_edge_chain():
+    """s2builder_test.d SimplifyBacktrackingEdgeChain: a chain that
+    backtracks on itself is simplified parametrically, never across a
+    direction reversal."""
+    b = bu.Builder(bu.IdentitySnapFunction(math.radians(0.5)),
+                   simplify_edge_chains=True)
+    b.add_polyline(_polyline_ll(
+        "0:0, 1:0, 2:0, 3:0, 4:0, 5:0, 4:0, 3:0, 2:0, 3:0, 4:0, "
+        "5:0, 6:0, 7:0"))
+    out = b.build_polyline()
+    assert _to_llstr(out) == "0:0, 2:0, 5:0, 2:0, 5:0, 7:0", \
+        _to_llstr(out)
+
+
+def test_simplify_limits_edge_deviation():
+    """s2builder_test.d SimplifyLimitsEdgeDeviation: E0 snapping of a
+    long diagonal adds a midpoint separation site, and simplification
+    must NOT remove it (the simplified edge would deviate more than
+    max_edge_deviation from the input edge)."""
+    b = bu.Builder(bu.IntLatLngSnapFunction(0), simplify_edge_chains=True)
+    b.add_polyline(_polyline_ll("-30.49:-29.51, 29.51:30.49"))
+    out = b.build_polyline()
+    assert _to_llstr(out) == "-30:-30, -1:1, 30:30", _to_llstr(out)
