@@ -221,6 +221,83 @@ def geo_spatial_join(sf_dir):
     return spatial_join(pages, polys)
 
 
+_PIP_NVS = (8, 12, 16, 24, 32, 48)
+
+
+def _pip_polygons(n=24):
+    """Deterministic CONVEX regular loops (no RNG) so the exact-PIP join
+    is SQL-checkable: a point is inside a convex loop smaller than a
+    hemisphere iff it lies in every edge's interior hemisphere, i.e.
+    min over edges of (v_i x v_{i+1}) . p > 0 — mathematically equal to
+    the engine's crossing-parity PIP (s2loop.d:1382-1433 semantics)."""
+    from ..core.loop import Loop
+    from ..core.polygon import Polygon
+    out = []
+    for pid in range(n):
+        clat = float((pid * 47) % 120) - 60.0 + 0.005
+        clon = float((pid * 97) % 344) - 172.0 + 0.005
+        radius = 0.05 + 0.025 * (pid % 5)
+        loop = Loop.make_regular(clat, clon, radius, _PIP_NVS[pid % 6])
+        out.append({"polygon_id": pid, "polygon": Polygon([loop])})
+    return out
+
+
+def _pip_edges_values():
+    """(polygon_id, nx, ny, nz) VALUES literals: the edge-normal vectors
+    v_i x v_{i+1} of every _pip_polygons loop, full-precision repr (17
+    significant digits round-trips float64 exactly)."""
+    rows = []
+    for rec in _pip_polygons():
+        v = rec["polygon"].loops[0].vertices
+        nrm = np.cross(v, np.roll(v, -1, axis=0))
+        for k in range(len(v)):
+            rows.append("(%d,%s,%s,%s)" % (rec["polygon_id"],
+                        repr(nrm[k, 0]), repr(nrm[k, 1]), repr(nrm[k, 2])))
+    return ",".join(rows)
+
+
+def geo_pip_join(sf_dir):
+    """Exact point-in-polygon join through the REAL flagship machinery —
+    RegionCoverer coverings -> multi-level cell index (broadcast once via
+    ray.put) -> per-level searchsorted candidate lookup -> shape-index
+    exact PIP refinement (stages/join.py) — over the deterministic doc
+    points and convex regular loops.  ORACLE-CHECKED: the SQL replays the
+    identical trig chain for the points (proven bit-exact in geo_knn) and
+    decides containment by the all-edge-hemisphere determinant test with
+    the loop edge normals embedded as float64 literals.  Agreement is
+    exact: both sides consume bit-identical point vectors and the minimum
+    |normal . p| margin over this data is ~1e-6 (verified in tests), nine
+    orders above the 1e-16 arithmetic noise floor."""
+    import ray
+
+    from ..stages.geocode import encode_cells
+    from ..stages.join import build_polygon_index, make_join_refine_fn
+
+    polys = _pip_polygons()
+    index = build_polygon_index(polys, min_level=2, max_level=12)
+    ref = ray.put(index)
+    levels = tuple(range(2, 13))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "url", pc.cast(batch["doc_id"], pa.string()))
+        return encode_cells(batch, levels=levels, with_token=False)
+
+    refine = make_join_refine_fn(ref)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["contained"])
+        return pa.table({
+            "doc_id": pc.cast(batch["url"], pa.int64()),
+            "polygon_id": batch["polygon_id"],
+        })
+
+    return (geo_points(sf_dir)
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(refine, batch_format="pyarrow")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def geo_covering_tokens(sf_dir):
     """Deterministic polygon coverings as tokens (rows-only; determinism
     asserted by running the coverer twice in tests)."""
@@ -510,6 +587,7 @@ QUERIES = {
     "geo_knn": geo_knn,
     "s2_knn": s2_knn,
     "geo_spatial_join": geo_spatial_join,
+    "geo_pip_join": geo_pip_join,
     "geo_covering_tokens": geo_covering_tokens,
     "geo_polyline_ops": geo_polyline_ops,
     "geo_boolean_union": geo_boolean_union,
@@ -565,6 +643,23 @@ ORACLE = {
 
 # The indexed kNN path must produce the identical result set.
 ORACLE["s2_knn"] = ORACLE["geo_knn"]
+
+# Exact-PIP join: convex-loop hemisphere test over literal edge normals;
+# the point trig chain is the geo_knn-proven bit-exact replay.
+ORACLE["geo_pip_join"] = f"""
+WITH pts AS (
+  SELECT doc_id,
+    cos(radians(lat)) * cos(radians(lon)) AS px,
+    cos(radians(lat)) * sin(radians(lon)) AS py,
+    sin(radians(lat)) AS pz
+  FROM (SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon
+        FROM documents)
+), edges(polygon_id, nx, ny, nz) AS (VALUES {_pip_edges_values()})
+SELECT p.doc_id AS doc_id, CAST(e.polygon_id AS BIGINT) AS polygon_id
+FROM pts p, edges e
+GROUP BY 1, 2
+HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
+"""
 
 # radius join: same chord-distance formula as geo_knn's oracle.
 import math as _math

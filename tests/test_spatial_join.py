@@ -109,3 +109,36 @@ def test_join_row_schema():
     assert [f.name for f in join.schema] == ["url", "polygon_id", "cell_id",
                                              "contained"]
     assert str(join.schema.field("cell_id").type) == "uint64"
+
+
+def test_pip_join_polygons_convex_ccw_with_margin():
+    """geo_pip_join oracle safety: every loop is CCW (interior on the
+    positive side of each edge normal) and strictly convex, and the
+    minimum |edge_normal . point| margin over the sf0.001 point grid is
+    orders of magnitude above float64 noise — so the SQL hemisphere test
+    and the engine's crossing-parity PIP cannot disagree."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.geo_queries import _pip_polygons
+
+    polys = _pip_polygons()
+    margins = []
+    did = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lat = ((did * 7919) % 18000) / 100.0 - 90.0
+    lon = ((did * 104729) % 36000) / 100.0 - 180.0
+    x, y, z = coords.latlng_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+    for rec in polys:
+        v = rec["polygon"].loops[0].vertices
+        nrm = np.cross(v, np.roll(v, -1, axis=0))
+        # CCW: the loop's own vertices (other than the edge endpoints)
+        # are strictly on the positive side of every edge.
+        dots_v = nrm @ v.T                      # (edge k, vertex i)
+        nv = len(v)
+        for k in range(nv):
+            keep = np.ones(nv, dtype=bool)
+            keep[k] = keep[(k + 1) % nv] = False
+            assert dots_v[k, keep].min() > 0, rec["polygon_id"]
+        margins.append(np.abs(pts @ nrm.T).min())
+    assert min(margins) > 1e-9, min(margins)
