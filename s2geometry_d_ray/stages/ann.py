@@ -115,20 +115,66 @@ class HyperplaneLSH:
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
+def _mix64(x):
+    """splitmix64 finalizer (same mix as sources/pages.py)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def int_hyperplanes(dim, n_planes):
+    """Deterministic small-integer hyperplanes in [-3, 3] (splitmix64 of
+    the flat index).  Integer components + fixed-point inputs make the
+    bucket bit an EXACT computation (see IntHyperplaneLSH), so a SQL
+    oracle can replay it bit-for-bit — unlike Gaussian float planes."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64).reshape(n_planes, dim)
+    return (_mix64(idx) % np.uint64(7)).astype(np.float64) - 3.0
+
+
+_FIXED_POINT = 1048576.0  # 2^20
+
+
+class IntHyperplaneLSH:
+    """Exact-arithmetic hyperplane signature stage: vec -> bucket id.
+
+    Embeddings (float32, exact in float64) are fixed-pointed with
+    floor(x * 2^20) and projected onto small-integer planes: every
+    product is < 2^24 and the 64-term sum < 2^30, so float64 matmul
+    accumulation is EXACT in any order — the bucket bit (proj > 0) is
+    deterministic and identically computable in DuckDB
+    (list_dot_product over the same integer-valued lists)."""
+
+    def __init__(self, dim, n_planes=4):
+        self.planes = int_hyperplanes(dim, n_planes)
+        self.n_planes = n_planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _stack_embeddings(batch["embedding"])
+        E = np.floor(vecs.astype(np.float64) * _FIXED_POINT)
+        bits = (E @ self.planes.T) > 0
+        w = (1 << np.arange(self.n_planes, dtype=np.int64))
+        bucket = (bits.astype(np.int64) * w[None, :]).sum(axis=1)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+
 def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
                         concurrency=2):
     """Embedding-cosine near-dup pairs via LSH buckets + exact rerank.
 
-    Returns pandas (vec_id_a, vec_id_b, score) with vec_id_a < vec_id_b
-    and cosine >= threshold. Pairs are only compared within a bucket, so
-    recall < 1 by design (document the tradeoff); exact verification
-    removes false positives."""
+    Returns pandas (vec_id_a, vec_id_b) with vec_id_a < vec_id_b and
+    float64 cosine >= threshold. Pairs are only compared within a
+    bucket, so recall < 1 by design (document the tradeoff); exact
+    verification removes false positives.  Buckets come from
+    IntHyperplaneLSH (exact fixed-point projections), so the whole
+    pipeline is SQL-oracle-checkable."""
     import pandas as pd
     first = embeddings_ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
 
     ds = embeddings_ds.map_batches(
-        HyperplaneLSH, fn_constructor_args=(dim, n_planes),
+        IntHyperplaneLSH, fn_constructor_args=(dim, n_planes),
         batch_format="pyarrow", batch_size=8192, concurrency=concurrency)
 
     # Skew guard (VERDICT r1): a degenerate hash bucket would do an
@@ -137,20 +183,24 @@ def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
 
     def rerank(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [],
-                                 "score": []})
+            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                                 "vec_id_b": pd.Series([], dtype="int64")})
         if len(group) > BUCKET_CAP:
             group = group.nsmallest(BUCKET_CAP, "vec_id")
-        m = normalize_rows(np.stack([np.asarray(v, dtype=np.float32)
-                                     for v in group["embedding"]]))
+        # float64 normalize-then-GEMM: the same arithmetic whose >= t
+        # decisions already hash-match list_cosine_similarity in the
+        # embedding_dups_exact oracle.
+        m = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in group["embedding"]]).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
         ids = group["vec_id"].to_numpy()
         sims = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)
         sel = sims[ii, jj] >= threshold
         a = np.minimum(ids[ii[sel]], ids[jj[sel]])
         b = np.maximum(ids[ii[sel]], ids[jj[sel]])
-        return pd.DataFrame({"vec_id_a": a, "vec_id_b": b,
-                             "score": np.round(sims[ii[sel], jj[sel]], 6)})
+        return pd.DataFrame({"vec_id_a": a.astype(np.int64),
+                             "vec_id_b": b.astype(np.int64)})
 
     return ds.groupby("bucket").map_groups(rerank, batch_format="pandas")
 
