@@ -219,10 +219,19 @@ def _lsh_candidate_pairs(bands):
     return pairs.drop_duplicates().reset_index(drop=True)
 
 
-def minhash_lsh_pairs(sf_dir, threshold=0.5):
+def minhash_lsh_pairs(sf_dir, threshold_bps=5000):
     """MinHash+LSH near-dup candidates verified by exact n-gram Jaccard:
     shingle -> minhash -> band -> bucket groupby -> verify (the canonical
-    web-dedup pipeline; ray_guide 'Near-dup')."""
+    web-dedup pipeline; ray_guide 'Near-dup').
+
+    ORACLE-CHECKED end to end: shingle hashes are md5_number_lower, the
+    multiply-shift signature mins and the murmur band mix are exact
+    mod-2^64 integer arithmetic (replayed in DuckDB via HUGEINT
+    split-multiplies — see _minhash_lsh_sql), and the verify step uses
+    the same exact integer-bps Jaccard as near_dup_pairs_exact.
+    Shingle-less docs (<n tokens) never pair: their sentinel-bucket
+    candidates are dropped by the u > 0 guard in verification, matching
+    the SQL where they produce no shingle rows at all."""
     import pyarrow.compute as pc
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tx.minhash_bands_fn(), batch_format="pyarrow", batch_size=8192)
@@ -241,11 +250,16 @@ def minhash_lsh_pairs(sf_dir, threshold=0.5):
         batch_format="pyarrow").to_pandas().set_index("doc_id")["text"]
     hashes = {d: h for d, h in zip(
         need, tx._hash_tokens_batch([texts[d] for d in need]))}
-    jac = np.array([tx.jaccard(hashes[a], hashes[b])
-                    for a, b in zip(cand["doc_a"], cand["doc_b"])])
-    keep = jac >= threshold
+    c = np.array([len(np.intersect1d(hashes[a], hashes[b],
+                                     assume_unique=True))
+                  for a, b in zip(cand["doc_a"], cand["doc_b"])],
+                 dtype=np.int64)
+    u = (np.array([len(hashes[a]) for a in cand["doc_a"]], dtype=np.int64)
+         + np.array([len(hashes[b]) for b in cand["doc_b"]], dtype=np.int64)
+         - c)
+    keep = (u > 0) & (c * 10000 >= threshold_bps * u)
     out = cand[keep].copy()
-    out["jaccard_bps"] = (jac[keep] * 10000).astype(np.int64)
+    out["jaccard_bps"] = c[keep] * 10000 // u[keep]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -524,7 +538,7 @@ def multimodal_decode_demo(sf_dir):
                               "decode_ok"])
 
 
-def near_dup_clusters(sf_dir, threshold=0.35):
+def near_dup_clusters(sf_dir, threshold_bps=3500):
     """Connected components over MinHash-LSH verified pairs: each doc maps
     to its component's min doc_id (the canonical keeper).
 
@@ -532,7 +546,7 @@ def near_dup_clusters(sf_dir, threshold=0.35):
     union-find runs on the driver (ray_guide 'Near-dup': driver-side
     union-find is allowed when the candidate set is small; the scale
     fallback is iterated min-label propagation via groupby)."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    pairs = minhash_lsh_pairs(sf_dir, threshold_bps=threshold_bps)
     parent: dict[int, int] = {}
 
     def find(x):
@@ -597,6 +611,74 @@ _NDP_CTES = r"""toks AS (
   GROUP BY 1, 2
 )"""
 _NDP_SQL = "WITH " + _NDP_CTES + "\n"
+
+
+def _minhash_lsh_ctes(threshold_bps=5000):
+    """CTE chain replaying the FULL MinHash+LSH pipeline in DuckDB:
+    md5_number_lower shingle hashes -> 64 multiply-shift signature mins
+    (HUGEINT arithmetic, explicit mod 2^64) -> 16 murmur-mixed band keys
+    (64x64-bit wrapping multiplies via 32-bit split products, which never
+    overflow INT128) -> bucket self-join candidates -> exact integer-bps
+    Jaccard verification.  Ends with a `pairs` CTE of
+    (doc_a, doc_b, jaccard_bps)."""
+    mh = tx.MinHasher()
+    n_bands = mh.num_hashes // mh.rows_per_band
+    M = 1 << 64
+
+    def mulmod(expr, c):
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"((({expr}) * {lo} + ((({expr}) * {hi}) % 4294967296)"
+                f" * 4294967296) % {M})")
+
+    sig_cols = ",\n    ".join(
+        f"MIN(({int(mh.a[k])} * x + {int(mh.b[k])}) % {M}) AS s{k}"
+        for k in range(mh.num_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + ", ".join(f"s{4 * j + r} AS m{r}" for r in range(mh.rows_per_band))
+        + " FROM sig"
+        for j in range(n_bands))
+    # murmur band mix, one CTE pair per signature row: h ^= m; h *= C1;
+    # h ^= h >> 33; h *= C2  (all mod 2^64)
+    mix = []
+    h_expr = str(0x9E3779B97F4A7C15)
+    prev = "bands"
+    for r in range(mh.rows_per_band):
+        keep = ", ".join(f"m{q}" for q in range(r + 1, mh.rows_per_band))
+        keep = (keep + ", ") if keep else ""
+        t = mulmod(f"xor({h_expr}, m{r})", 0xFF51AFD7ED558CCD)
+        mix.append(f"r{r}a AS (\n  SELECT doc_id, band, {keep}{t} AS t"
+                   f" FROM {prev}\n)")
+        h2 = mulmod("xor(t, t >> 33)", 0xC4CEB9FE1A85EC53)
+        mix.append(f"r{r}b AS (\n  SELECT doc_id, band, {keep}{h2} AS h"
+                   f" FROM r{r}a\n)")
+        h_expr, prev = "h", f"r{r}b"
+    mix_sql = ",\n".join(mix)
+    return _NDP_CTES + f""", hx AS (
+  SELECT doc_id, CAST(md5_number_lower(shingle) AS HUGEINT) AS x FROM sh
+), sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM hx GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), {mix_sql}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {prev} a JOIN {prev} b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+), lsh_co AS (
+  SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
+  FROM cand cd
+  JOIN sh sa ON sa.doc_id = cd.doc_a
+  JOIN sh sb ON sb.doc_id = cd.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(c * 10000 // (na.n + nb.n - c) AS BIGINT) AS jaccard_bps
+  FROM lsh_co JOIN sizes na ON na.doc_id = lsh_co.doc_a
+              JOIN sizes nb ON nb.doc_id = lsh_co.doc_b
+  WHERE c * 10000 >= {threshold_bps} * (na.n + nb.n - c)
+)"""
 
 ORACLE = {
     "dedup_exact": (
@@ -712,6 +794,21 @@ pairs AS (
 )
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """,
+    "minhash_lsh_pairs": ("WITH " + _minhash_lsh_ctes(5000) + """
+SELECT doc_a, doc_b, jaccard_bps FROM pairs
+"""),
+    "near_dup_clusters": ("WITH RECURSIVE " + _minhash_lsh_ctes(3500) + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  WHERE e.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""),
     "embedding_dups_exact": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -14,7 +14,7 @@ modular arithmetic in uint64); SimHash and MinHash hash each UNIQUE
 token/shingle once per batch and tally bits / minima with
 ``np.{add,minimum}.reduceat`` over the flattened token stream; language-ID
 is a factorize + scatter-add over marker ids.  The only remaining Python
-loops iterate over the *unique vocabulary* of a batch (blake2b has no
+loops iterate over the *unique vocabulary* of a batch (md5 has no
 vectorized form) — sub-linear in corpus size for duplicated web text."""
 
 from __future__ import annotations
@@ -158,8 +158,11 @@ def langid_heuristic(batch: pa.Table, col="text") -> pa.Table:
 
 def _hash_tokens_batch(texts, n=3):
     """Per-doc sets of hashed n-gram (word) shingles as sorted uint64
-    arrays.  Each UNIQUE shingle string across the batch is blake2b-hashed
-    once (web corpora repeat shingles heavily across near-dup docs)."""
+    arrays.  Each UNIQUE shingle string across the batch is hashed once
+    (web corpora repeat shingles heavily across near-dup docs).  The hash
+    is md5 digest bytes [8:16] little-endian == DuckDB's
+    md5_number_lower(shingle), so every downstream sketch (MinHash
+    signatures, LSH band keys) is replayable in a SQL oracle."""
     doc_sets = []
     vocab: dict[str, int] = {}
     for t in texts:
@@ -173,10 +176,10 @@ def _hash_tokens_batch(texts, n=3):
                 vocab[sh] = len(vocab)
         doc_sets.append(tuple(vocab[sh] for sh in s))
     if vocab:
-        blake = hashlib.blake2b
+        md5 = hashlib.md5
         vh = np.fromiter(
-            (int.from_bytes(blake(s.encode(), digest_size=8).digest(),
-                            "little") for s in vocab),
+            (int.from_bytes(md5(s.encode()).digest()[8:16], "little")
+             for s in vocab),
             dtype=np.uint64, count=len(vocab))
     else:
         vh = np.array([], dtype=np.uint64)

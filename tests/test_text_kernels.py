@@ -97,7 +97,7 @@ def _scalar_shingle_hashes(texts, n=3):
             continue
         sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
         h = np.array([int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            hashlib.md5(s.encode()).digest()[8:16], "little")
             for s in set(sh)], dtype=np.uint64)
         out.append(np.sort(h))
     return out
