@@ -146,8 +146,14 @@ def exact_sign(a, b, c, perturb=True):
 
 
 def expensive_sign(a, b, c, perturb=True):
-    """s2predicates.d:1511-1536."""
-    if a == b or b == c or c == a:
+    """s2predicates.d:1511-1536.
+
+    Equality is component-wise (not tuple ==) so that NaN inputs behave as
+    IEEE doubles do in the reference: NaN != NaN, hence a NaN triangle is
+    not treated as degenerate here (it resolves to -1 via stable_sign)."""
+    if ((a[0] == b[0] and a[1] == b[1] and a[2] == b[2])
+            or (b[0] == c[0] and b[1] == c[1] and b[2] == c[2])
+            or (c[0] == a[0] and c[1] == a[1] and c[2] == a[2])):
         return 0
     s = stable_sign(a, b, c)
     if s != 0:
