@@ -159,18 +159,38 @@ def tile_counts(pages_ds, level=12, shuffle=None):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     if shuffle is None:
-        shuffle = 6 * (4 ** level) > 150_000_000  # level >= 13
+        # Worldwide tile cardinality 6*4^level crosses "driver-sized"
+        # around level 10 (6.3M); above that the distinct-tile map (and
+        # the O(distinct) per-block fold) stops being a driver job.
+        shuffle = 6 * (4 ** level) > 2_000_000  # level >= 10
     if shuffle:
-        from ray.data.aggregate import Sum
+        # Bucketed vectorized combine: ~64 hash buckets, one C-path pandas
+        # groupby per bucket. A raw groupby("tile_id").aggregate(...) would
+        # run Ray's per-GROUP Python loop over millions of near-unique
+        # tiles (pathological); per-bucket map_groups keeps the all-to-all
+        # (skinny 16-byte rows) but does the real aggregation vectorized.
+        n_buckets = 64
 
-        def to_u64(batch: pa.Table) -> pa.Table:
+        def add_bucket(batch: pa.Table) -> pa.Table:
             t = batch["tile_id"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64).view(np.uint64)
-            return pa.table({"tile_id": pa.array(t, pa.uint64()),
-                             "n_pages": batch["n_pages"]})
-        return partials.groupby("tile_id").aggregate(
-            Sum("partial_count", alias_name="n_pages")).map_batches(
-            to_u64, batch_format="pyarrow")
+            b = ((t * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(64 - 6)).astype(np.int64) % n_buckets
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = df.groupby("tile_id", as_index=False, sort=True).agg(
+                n_pages=("partial_count", "sum"))
+            out["tile_id"] = out["tile_id"].to_numpy(np.int64) \
+                .view(np.uint64)
+            return out
+
+        import pandas as pd  # noqa: F401 (map_groups pandas batches)
+        return partials.map_batches(
+            add_bucket, batch_format="pyarrow",
+            zero_copy_batch=True).groupby("bucket").map_groups(
+            combine, batch_format="pandas").select_columns(
+            ["tile_id", "n_pages"])
     # Streaming fold: one pandas merge per arriving block; memory is
     # O(distinct tiles) regardless of block count.
     import pandas as pd
