@@ -32,6 +32,31 @@ def chord2_between(a, b):
     return min(4.0, d0 * d0 + d1 * d1 + d2 * d2)
 
 
+def chord2_add(a2, b2):
+    """S1ChordAngle operator+ in squared-chord space: one sqrt instead of
+    trig (s1chord_angle.d:270-301)."""
+    if b2 == 0.0:
+        return a2
+    if a2 == 0.0:
+        return b2
+    if a2 + b2 >= 4.0:
+        return 4.0
+    x = a2 * (1.0 - 0.25 * b2)
+    y = b2 * (1.0 - 0.25 * a2)
+    return min(4.0, x + y + 2.0 * math.sqrt(x * y))
+
+
+def chord2_sub(a2, b2):
+    """S1ChordAngle operator- (s1chord_angle.d:303-320)."""
+    if b2 == 0.0:
+        return a2
+    if a2 <= b2:
+        return 0.0
+    x = a2 * (1.0 - 0.25 * b2)
+    y = b2 * (1.0 - 0.25 * a2)
+    return max(0.0, x + y - 2.0 * math.sqrt(x * y))
+
+
 class Cap:
     """center: unit xyz tuple; radius2: squared chord length in [-1, 4]."""
 
@@ -56,6 +81,11 @@ class Cap:
         x, y, z = coords.latlng_to_xyz(lat_deg, lon_deg)
         return cls((float(x), float(y), float(z)),
                    chord2_from_angle(radius_rad))
+
+    @classmethod
+    def from_center_height(cls, center, height):
+        """chord2 = 2 * height (s2cap.d:184-186)."""
+        return cls(center, min(4.0, 2.0 * height))
 
     @classmethod
     def empty(cls):
@@ -106,19 +136,128 @@ class Cap:
             self.radius2 = max(self.radius2, chord2_between(self.center, p))
 
     def expanded(self, radians):
-        """Radius grown by an angle (s2cap.d expanded)."""
+        """Radius grown by an angle via chord-angle addition
+        (s2cap.d:387-395)."""
         if self.is_empty():
             return Cap.empty()
         return Cap(self.center,
-                   chord2_from_angle(self.radius_radians() + radians))
+                   chord2_add(self.radius2, chord2_from_angle(radians)))
 
     def intersects_cap(self, other):
+        """radius_a + radius_b >= distance(centers) in chord space
+        (s2cap.d:318-323)."""
         if self.is_empty() or other.is_empty():
             return False
-        ra = self.radius_radians()
-        rb = other.radius_radians()
-        d = angle_from_chord2(chord2_between(self.center, other.center))
-        return ra + rb >= d
+        return chord2_add(self.radius2, other.radius2) \
+            >= chord2_between(self.center, other.center)
+
+    def contains_cap(self, other):
+        """Set containment: every cap contains the empty cap
+        (s2cap.d:309-314)."""
+        if self.is_full() or other.is_empty():
+            return True
+        return self.radius2 >= chord2_add(
+            chord2_between(self.center, other.center), other.radius2)
+
+    def interior_intersects(self, other):
+        """Interior of this cap intersects other (s2cap.d:330-336)."""
+        if self.radius2 <= 0.0 or other.is_empty():
+            return False
+        return chord2_add(self.radius2, other.radius2) \
+            > chord2_between(self.center, other.center)
+
+    def interior_contains(self, p):
+        """Strict interior point containment (s2cap.d:343-348)."""
+        return self.is_full() or chord2_between(self.center, p) < self.radius2
+
+    def add_cap(self, other):
+        """Grow to include the other cap (s2cap.d:373-383)."""
+        if self.is_empty():
+            self.center = tuple(other.center)
+            self.radius2 = other.radius2
+        else:
+            dist = chord2_add(chord2_between(self.center, other.center),
+                              other.radius2)
+            # Round up to guarantee actual containment.
+            dist = max(0.0, min(4.0, dist + 2.220446049250313e-16 * dist))
+            self.radius2 = max(self.radius2, dist)
+
+    def unite(self, other):
+        """Smallest cap enclosing both (s2cap.d:398-419)."""
+        if self.radius2 < other.radius2:
+            return other.unite(self)
+        if self.is_full() or other.is_empty():
+            return Cap(self.center, self.radius2)
+        this_radius = self.radius_radians()
+        other_radius = other.radius_radians()
+        distance = angle_from_chord2(chord2_between(self.center,
+                                                    other.center))
+        if this_radius >= distance + other_radius:
+            return Cap(self.center, self.radius2)
+        from .edge import interpolate_at_distance
+        result_radius = 0.5 * (distance + this_radius + other_radius)
+        result_center = interpolate_at_distance(
+            0.5 * (distance - this_radius + other_radius),
+            self.center, other.center)
+        return Cap.from_center_angle(tuple(result_center), result_radius)
+
+    def get_area(self):
+        """2*pi*height (s2cap.d:235-237)."""
+        return 2.0 * math.pi * max(0.0, self.height())
+
+    def get_centroid(self):
+        """True centroid times area; on the center ray (s2cap.d:254-267)."""
+        if self.is_empty():
+            return np.zeros(3)
+        r = 1.0 - 0.5 * self.height()
+        return r * self.get_area() * np.asarray(self.center)
+
+    def is_valid(self):
+        c = self.center
+        n2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+        return abs(n2 - 1.0) <= 5 * 2.220446049250313e-16 \
+            and self.radius2 <= 4.0
+
+    def approx_equals(self, other, max_error_rad=1e-14):
+        """Center within max_error (angle) and radius2 within max_error
+        (s2cap.d:601-611)."""
+        e = max_error_rad
+        ang = angle_from_chord2(chord2_between(self.center, other.center))
+        return ((ang <= e and abs(self.radius2 - other.radius2) <= e)
+                or (self.is_empty() and other.radius2 <= e)
+                or (other.is_empty() and self.radius2 <= e)
+                or (self.is_full() and other.radius2 >= 2 - e)
+                or (other.is_full() and self.radius2 >= 2 - e))
+
+    def get_rect_bound(self):
+        """Tight lat/lng rect around the cap (s2cap.d:435-483)."""
+        from .rect import LatLngRect, S1Interval
+        if self.is_empty():
+            return LatLngRect.empty()
+        cx, cy, cz = self.center
+        center_lat = math.atan2(cz, math.hypot(cx, cy))
+        center_lng = math.atan2(cy, cx)
+        cap_angle = self.radius_radians()
+        all_longitudes = False
+        lat_lo = center_lat - cap_angle
+        if lat_lo <= -0.5 * math.pi:
+            lat_lo = -0.5 * math.pi
+            all_longitudes = True
+        lat_hi = center_lat + cap_angle
+        if lat_hi >= 0.5 * math.pi:
+            lat_hi = 0.5 * math.pi
+            all_longitudes = True
+        lng = S1Interval.full()
+        if not all_longitudes:
+            # Law of sines: sin(half-width in lng) = sin(radius)/cos(lat).
+            sin_a = math.sqrt(self.radius2 * (1.0 - 0.25 * self.radius2))
+            sin_c = math.cos(center_lat)
+            if sin_a <= sin_c:
+                angle_a = math.asin(sin_a / sin_c)
+                lng = S1Interval(
+                    math.remainder(center_lng - angle_a, 2 * math.pi),
+                    math.remainder(center_lng + angle_a, 2 * math.pi))
+        return LatLngRect(lat_lo, lat_hi, lng)
 
     # -- cell ops (s2cap.d:81-127,514-539) -----------------------------
     def _intersects_cell(self, cell, vertices):

@@ -203,16 +203,13 @@ def normalize_xyz(x, y, z):
 
 def get_frame(z_axis):
     """Right-handed orthonormal frame with the given z axis
-    (s2pointutil.d getFrame): columns (x, y, z)."""
+    (s2pointutil.d getFrame): columns (x, y, z) with y = ortho(z) and
+    x = y x z, matching the reference's deterministic construction."""
+    from .predicates import ortho
     z = np.asarray(z_axis, dtype=np.float64)
     z = z / np.linalg.norm(z)
-    # ortho: pick the smallest component axis for stability
-    k = int(np.argmin(np.abs(z)))
-    temp = np.zeros(3)
-    temp[k] = 1.0
-    x = np.cross(z, temp)
-    x = x / np.linalg.norm(x)
-    y = np.cross(z, x)
+    y = np.asarray(ortho(tuple(z)), dtype=np.float64)
+    x = np.cross(y, z)
     return np.stack([x, y, z], axis=1)
 
 

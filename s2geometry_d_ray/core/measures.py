@@ -67,15 +67,64 @@ def signed_triangle_area(a, b, c):
     return sign(tuple(a), tuple(b), tuple(c)) * triangle_area(a, b, c)
 
 
-def loop_signed_area(vertices):
-    """Sum of signed triangle areas from vertex 0 (s2loop.d:428-470
-    getSurfaceIntegral shape); positive = CCW interior."""
+# Edges longer than this are numerically unstable inside the triangle fan
+# (s2loop.d:891: S1ChordAngle.fromRadians(PI - 1e-5)); compared as squared
+# chord lengths.
+_MAX_STABLE_CHORD2 = (2.0 * math.sin(0.5 * (math.pi - 1e-5))) ** 2
+
+
+def get_surface_integral(vertices, f_tri, zero=0.0):
+    """Oriented surface integral over the loop interior (s2loop.d:859-945).
+
+    Sums ``f_tri`` over a fan of oriented triangles from a moving origin:
+    whenever the leading fan edge would approach 180 degrees (numerically
+    unstable), the origin is relocated (to robustCrossProd(v0, vi) or back
+    to v0) and compensating triangles are added so the total signed
+    coverage of every point is unchanged."""
+    from .edge_clipping import robust_cross_prod
     v = np.asarray(vertices, dtype=np.float64)
-    total = 0.0
+    n = len(v)
+    total = zero
+
+    def chord2(x, y):
+        d = x - y
+        return float(d @ d)
+
     origin = v[0]
-    for i in range(1, len(v) - 1):
-        total += signed_triangle_area(origin, v[i], v[i + 1])
+    origin_is_v0 = True
+    for i in range(1, n - 1):
+        if chord2(v[i + 1], origin) > _MAX_STABLE_CHORD2:
+            # About to create an unstable edge: move the fan origin.
+            old_origin = origin
+            if origin_is_v0:
+                # robustCrossProd(v0, vi) is well-separated from v0, vi,
+                # and vi+1.
+                x = np.asarray(robust_cross_prod(v[0], v[i]), dtype=np.float64)
+                origin = x / np.linalg.norm(x)
+                origin_is_v0 = False
+            elif chord2(v[i], v[0]) < _MAX_STABLE_CHORD2:
+                # All edges of (origin, v0, vi) are stable: revert to v0.
+                origin = v[0]
+                origin_is_v0 = True
+            else:
+                # (origin, vi+1) and (v0, vi) are antipodal pairs; v0 x origin
+                # is approximately perpendicular to all four points.
+                origin = np.cross(v[0], old_origin)
+                origin_is_v0 = False
+                total = total + f_tri(v[0], old_origin, origin)
+            total = total + f_tri(old_origin, v[i], origin)
+        total = total + f_tri(origin, v[i], v[i + 1])
+    if not origin_is_v0:
+        total = total + f_tri(origin, v[n - 1], v[0])
     return total
+
+
+def loop_signed_area(vertices):
+    """Oriented integral of signed triangle areas (s2loop.d:497
+    getSurfaceIntegral(signedArea)); positive = CCW interior."""
+    if len(vertices) < 3:
+        return 0.0
+    return get_surface_integral(vertices, signed_triangle_area, 0.0)
 
 
 def loop_area(vertices):
@@ -95,40 +144,37 @@ def polygon_area(loops):
     return max(0.0, total)
 
 
-def triangle_true_centroid(a, b, c):
-    """Non-normalized 'true' centroid of a spherical triangle
-    (s2centroids.d:60-96)."""
-    angle_a = math.atan2(np.linalg.norm(np.cross(b, c)), np.dot(b, c))
-    del angle_a
-    # Integral formula (s2centroids.d): centroid = sum over edges of
-    # (cross products scaled by the opposite angle) / 2. We use the exact
-    # expression from the reference.
-    ra = np.linalg.norm(np.cross(b, c))
-    rb = np.linalg.norm(np.cross(c, a))
-    rc = np.linalg.norm(np.cross(a, b))
-    angle_bc = math.atan2(ra, np.dot(b, c))
-    angle_ca = math.atan2(rb, np.dot(c, a))
-    angle_ab = math.atan2(rc, np.dot(a, b))
-    x = np.array([a[0], b[0], c[0]])
-    y = np.array([a[1], b[1], c[1]])
-    z = np.array([a[2], b[2], c[2]])
-    r = np.array([angle_bc / ra if ra else 0.0,
-                  angle_ca / rb if rb else 0.0,
-                  angle_ab / rc if rc else 0.0])
-    out = np.empty(3)
-    out[0] = 0.5 * np.dot(np.cross(y, z), r)
-    out[1] = 0.5 * np.dot(np.cross(z, x), r)
-    out[2] = 0.5 * np.dot(np.cross(x, y), r)
-    return out
+def true_centroid(a, b, c):
+    """Signed 'true' centroid of spherical triangle ABC, scaled by its area
+    (s2centroids.d trueCentroid: angle/sin ratios + row-subtracted Cramer
+    solve; antisymmetric under orientation reversal)."""
+    def _ang(u, v):
+        return math.atan2(np.linalg.norm(np.cross(u, v)), float(np.dot(u, v)))
+
+    angle_a = _ang(b, c)
+    angle_b = _ang(c, a)
+    angle_c = _ang(a, b)
+    ra = 1.0 if angle_a == 0.0 else angle_a / math.sin(angle_a)
+    rb = 1.0 if angle_b == 0.0 else angle_b / math.sin(angle_b)
+    rc = 1.0 if angle_c == 0.0 else angle_c / math.sin(angle_c)
+    # Subtract row A from B and C to reduce cancellation for small triangles.
+    x = np.array([a[0], b[0] - a[0], c[0] - a[0]])
+    y = np.array([a[1], b[1] - a[1], c[1] - a[1]])
+    z = np.array([a[2], b[2] - a[2], c[2] - a[2]])
+    r = np.array([ra, rb - ra, rc - ra])
+    return 0.5 * np.array([float(np.dot(np.cross(y, z), r)),
+                           float(np.dot(np.cross(z, x), r)),
+                           float(np.dot(np.cross(x, y), r))])
+
+
+# Backwards-compatible alias (previous formulation required an external
+# orientation sign; the reference form is naturally signed).
+triangle_true_centroid = true_centroid
 
 
 def loop_centroid(vertices):
-    """True centroid of the loop interior (not normalized)."""
-    v = np.asarray(vertices, dtype=np.float64)
-    origin = v[0]
-    total = np.zeros(3)
-    from .predicates import sign
-    for i in range(1, len(v) - 1):
-        s = sign(tuple(origin), tuple(v[i]), tuple(v[i + 1]))
-        total += s * triangle_true_centroid(origin, v[i], v[i + 1])
-    return total
+    """True centroid of the loop interior times loop area, not normalized
+    (s2loop.d:542-548 getSurfaceIntegral(trueCentroid))."""
+    if len(vertices) < 3:
+        return np.zeros(3)
+    return get_surface_integral(vertices, true_centroid, np.zeros(3))

@@ -245,6 +245,43 @@ class LatLngRect:
         return (self.lat_lo <= other.lat_hi and other.lat_lo <= self.lat_hi
                 and self.lng.intersects(other.lng))
 
+    def polar_closure(self):
+        """If the rect touches a pole, expand lng to full
+        (s2latlng_rect.d polarClosure)."""
+        if self.lat_lo == -_HALF_PI or self.lat_hi == _HALF_PI:
+            return LatLngRect(self.lat_lo, self.lat_hi, S1Interval.full())
+        return LatLngRect(self.lat_lo, self.lat_hi, self.lng)
+
+    def approx_equals(self, other, lat_err=1e-15, lng_err=None):
+        """Per-interval approximate equality (s2latlng_rect.d approxEquals;
+        R1Interval/S1Interval semantics: an empty interval matches any
+        interval of length <= 2*max_error)."""
+        if lng_err is None:
+            lng_err = lat_err
+        # R1 latitude interval.
+        a_emp, b_emp = self.is_empty(), other.is_empty()
+        if a_emp or b_emp:
+            if a_emp and b_emp:
+                lat_ok = True
+            elif a_emp:
+                lat_ok = (other.lat_hi - other.lat_lo) <= 2 * lat_err
+            else:
+                lat_ok = (self.lat_hi - self.lat_lo) <= 2 * lat_err
+        else:
+            lat_ok = (abs(self.lat_lo - other.lat_lo) <= lat_err
+                      and abs(self.lat_hi - other.lat_hi) <= lat_err)
+        # S1 longitude interval.
+        a, b = self.lng, other.lng
+        if a.is_empty():
+            lng_ok = b.get_length() <= 2 * lng_err
+        elif b.is_empty():
+            lng_ok = a.get_length() <= 2 * lng_err
+        else:
+            lng_ok = (abs(math.remainder(b.lo - a.lo, 2 * _PI)) <= lng_err
+                      and abs(math.remainder(b.hi - a.hi, 2 * _PI)) <= lng_err
+                      and abs(a.get_length() - b.get_length()) <= 2 * lng_err)
+        return lat_ok and lng_ok
+
     def contains_rect(self, other):
         if other.is_empty():
             return True
@@ -306,3 +343,112 @@ class LatLngRect:
         if self.is_empty():
             return False
         return self.intersects_rect(self._cell_rect(cell))
+
+
+# Maximum error of the rect bounder, for tests (s2latlng_rect_bounder.d
+# maxErrorForTests: 10*eps lat, 1*eps lng).
+_DBL_EPS = 2.220446049250313e-16
+BOUNDER_MAX_ERROR = (10 * _DBL_EPS, 1 * _DBL_EPS)
+
+
+def expand_for_subregions(bound: LatLngRect) -> LatLngRect:
+    """Expand a loop bound so that if A.contains(B) then
+    expand_for_subregions(A.bound).contains(B.bound)
+    (s2latlng_rect_bounder.d:258-366 expandForSubregions, including the
+    nearly-antipodal-points escape to Full)."""
+    if bound.is_empty():
+        return LatLngRect(bound.lat_lo, bound.lat_hi, bound.lng)
+    # Distance between the bound and its reflection through the origin:
+    # if it may contain nearly-antipodal points (within 4.309*eps), a
+    # subregion edge bound can snap to Full.
+    lng_gap = max(0.0, _PI - bound.lng.get_length() - 2.5 * _DBL_EPS)
+    min_abs_lat = max(bound.lat_lo, -bound.lat_hi)
+    lat_gap1 = _HALF_PI + bound.lat_lo
+    lat_gap2 = _HALF_PI - bound.lat_hi
+    if min_abs_lat >= 0:
+        if 2 * min_abs_lat + lng_gap < 1.354e-15:
+            return LatLngRect.full()
+    elif lng_gap >= _HALF_PI:
+        if lat_gap1 + lat_gap2 < 1.687e-15:
+            return LatLngRect.full()
+    else:
+        if max(lat_gap1, lat_gap2) * lng_gap < 1.765e-15:
+            return LatLngRect.full()
+    lat_expansion = 9 * _DBL_EPS
+    lng_expansion = _PI if lng_gap <= 0 else 0.0
+    return bound.expanded(lat_expansion, lng_expansion).polar_closure()
+
+
+class RectBounder:
+    """Faithful port of S2LatLngRectBounder (s2latlng_rect_bounder.d:44-240):
+    computes a conservative LatLngRect bound for an edge chain, including
+    edge-interior latitude extrema with the reference's exact error terms
+    (3.84eps normal error, 3eps max-lat pad, 2eps final expansion,
+    latitude-change budget for short edges)."""
+
+    __slots__ = ("_bound", "_a", "_a_lat", "_a_lng")
+
+    def __init__(self):
+        self._bound = LatLngRect.empty()
+        self._a = None
+
+    def add_point(self, b):
+        bx, by, bz = float(b[0]), float(b[1]), float(b[2])
+        b_lat = math.atan2(bz, math.hypot(bx, by))
+        b_lng = math.atan2(by, bx)
+        if self._bound.is_empty():
+            self._bound = self._bound.add_point(b_lat, b_lng)
+        else:
+            ax, ay, az = self._a
+            # N = (A-B) x (A+B) = 2*(A x B), computed this way for accuracy
+            # when A ~ B (s2latlng_rect_bounder.d:61).
+            ux, uy, uz = ax - bx, ay - by, az - bz
+            vx, vy, vz = ax + bx, ay + by, az + bz
+            nx = uy * vz - uz * vy
+            ny = uz * vx - ux * vz
+            nz = ux * vy - uy * vx
+            n_norm = math.sqrt(nx * nx + ny * ny + nz * nz)
+            if n_norm < 1.91346e-15:
+                # Nearly identical or nearly antipodal (within 4.309 eps).
+                if ax * bx + ay * by + az * bz < 0:
+                    self._bound = LatLngRect.full()
+                else:
+                    self._bound = self._bound.union(LatLngRect(
+                        min(self._a_lat, b_lat), max(self._a_lat, b_lat),
+                        S1Interval.from_point_pair(self._a_lng, b_lng)))
+            else:
+                lng_ab = S1Interval.from_point_pair(self._a_lng, b_lng)
+                if lng_ab.get_length() >= _PI - 2 * _DBL_EPS:
+                    lng_ab = S1Interval.full()
+                lat_lo = min(self._a_lat, b_lat)
+                lat_hi = max(self._a_lat, b_lat)
+                # M = N x z_hat; sign of M.A / M.B tells whether the edge
+                # crosses the plane of min/max latitude.
+                mx, my = ny, -nx  # (N x (0,0,1)) = (ny, -nx, 0)
+                m_a = mx * ax + my * ay
+                m_b = mx * bx + my * by
+                m_error = 6.06638e-16 * n_norm + 6.83174e-31
+                if (m_a * m_b < 0 or abs(m_a) <= m_error
+                        or abs(m_b) <= m_error):
+                    max_lat = min(
+                        math.atan2(math.sqrt(nx * nx + ny * ny), abs(nz))
+                        + 3 * _DBL_EPS, _HALF_PI)
+                    lat_budget = 2 * math.asin(
+                        min(1.0, 0.5 * math.sqrt(ux * ux + uy * uy + uz * uz)
+                            * math.sin(max_lat)))
+                    max_delta = 0.5 * (lat_budget - (lat_hi - lat_lo)) \
+                        + _DBL_EPS
+                    if m_a <= m_error and m_b >= -m_error:
+                        lat_hi = min(max_lat, lat_hi + max_delta)
+                    if m_b <= m_error and m_a >= -m_error:
+                        lat_lo = max(-max_lat, lat_lo - max_delta)
+                self._bound = self._bound.union(
+                    LatLngRect(lat_lo, lat_hi, lng_ab))
+        self._a = (bx, by, bz)
+        self._a_lat = b_lat
+        self._a_lng = b_lng
+
+    def get_bound(self):
+        """Expand by 2eps latitude (rounded-inward compensation) and take
+        the polar closure (s2latlng_rect_bounder.d:215-240)."""
+        return self._bound.expanded(2 * _DBL_EPS, 0.0).polar_closure()

@@ -65,15 +65,13 @@ def make_latlng_rect(text):
 
 
 def make_loop(text, depth=0):
-    """Loop from a point list; 'empty'/'full' handled specially
-    (s2text_format.d:239-270)."""
+    """Loop from a point list; 'empty'/'full' are the single-vertex
+    sentinel loops (s2text_format.d:239-270)."""
     text = text.strip()
     if text == "empty":
-        return None
+        return Loop.empty()
     if text == "full":
-        # Full loop: represented by a tiny loop containing everything is
-        # not equivalent; callers that need "full" handle None/flag.
-        raise NotImplementedError("full loops are not supported")
+        return Loop.full()
     pts = parse_points(text)
     return Loop(pts, depth=depth)
 

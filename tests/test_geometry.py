@@ -346,8 +346,10 @@ class TestVertexModels:
 
         def pt(lat, lng):
             x, y, z = coords.latlng_to_xyz(lat, lng)
-            v = np.array([x, y, z], dtype=np.float64)
-            return v / np.linalg.norm(v)   # same normalize as Loop
+            # latlng_to_xyz output is unit length; Loop stores such
+            # vertices verbatim, so this point equals the loop vertex
+            # exactly (the semi-open/closed models depend on that).
+            return np.array([x, y, z], dtype=np.float64)
         return idx, pt
 
     def test_open(self):
