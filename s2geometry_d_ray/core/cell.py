@@ -87,6 +87,56 @@ class Cell:
         n = _get_u_norm(self.face, self.u_lo)             # left
         return (-n[0], -n[1], -n[2])
 
+    def get_rect_bound(self):
+        """Tight lat/lng bound (s2cell.d getRectBound): for level > 0 the
+        extremes are attained at diagonally opposite vertex pairs; level-0
+        face cells use the precomputed table."""
+        from .rect import LatLngRect, S1Interval
+        eps = 2.220446049250313e-16
+        if self.level > 0:
+            u = self.u_lo + self.u_hi
+            v = self.v_lo + self.v_hi
+            # z-components of the u/v axes per face (s2coords GetUAxis /
+            # GetVAxis): nonzero means latitude varies along that axis.
+            u_axis_z = (0, 0, 0, -1, -1, 0)[self.face]
+            v_axis_z = (1, 1, 0, 0, 0, 0)[self.face]
+            i = int(u < 0) if u_axis_z == 0 else int(u > 0)
+            j = int(v < 0) if v_axis_z == 0 else int(v > 0)
+
+            def lat_of(ii, jj):
+                x, y, z = face_uv_to_xyz_scalar(
+                    self.face, (self.u_lo, self.u_hi)[ii],
+                    (self.v_lo, self.v_hi)[jj])
+                return math.atan2(z, math.hypot(x, y))
+
+            def lng_of(ii, jj):
+                x, y, _ = face_uv_to_xyz_scalar(
+                    self.face, (self.u_lo, self.u_hi)[ii],
+                    (self.v_lo, self.v_hi)[jj])
+                return math.atan2(y, x)
+
+            lat_a = lat_of(i, j)
+            lat_b = lat_of(1 - i, 1 - j)
+            lng = S1Interval.from_point_pair(lng_of(i, 1 - j),
+                                             lng_of(1 - i, j))
+            rect = LatLngRect(min(lat_a, lat_b), max(lat_a, lat_b), lng)
+            return rect.expanded_latlng(2 * eps, 2 * eps).polar_closure()
+        pole_min_lat = math.asin(math.sqrt(1.0 / 3)) - 0.5 * eps
+        q = 0.25 * math.pi
+        if self.face == 0:
+            bound = LatLngRect(-q, q, S1Interval(-q, q))
+        elif self.face == 1:
+            bound = LatLngRect(-q, q, S1Interval(q, 3 * q))
+        elif self.face == 2:
+            bound = LatLngRect(pole_min_lat, 2 * q, S1Interval.full())
+        elif self.face == 3:
+            bound = LatLngRect(-q, q, S1Interval(3 * q, -3 * q))
+        elif self.face == 4:
+            bound = LatLngRect(-q, q, S1Interval(-3 * q, -q))
+        else:
+            bound = LatLngRect(-2 * q, -pole_min_lat, S1Interval.full())
+        return bound.expanded_latlng(eps, 0.0)
+
     @staticmethod
     def average_area_at(level):
         """Average cell area at a level (s2cell.d:237-239)."""

@@ -76,21 +76,32 @@ def denormalize(ids, min_level, level_mod=1):
 
 
 def expand_level(ids, expand_level):
-    """Add all neighbors at expand_level of boundary cells then renormalize
-    (s2cell_union.d:516-535)."""
+    """Add all neighbors at expand_level along each cell's boundary, then
+    renormalize (s2cell_union.d:516-535). Cells FINER than expand_level
+    are replaced by their parent at expand_level (enlarging the union),
+    matching the reference — this guarantees the added ring is at least
+    one expand_level cell wide everywhere."""
     orig = np.asarray(ids, dtype=np.uint64)
-    extra = []
+    out = []
     for cid in orig.tolist():
         cid = _U64(cid)
         lvl = int(ci.level(cid))
-        if lvl >= expand_level:
-            extra.append(ci.all_neighbors(cid, max(expand_level, lvl)))
+        if lvl > expand_level:
+            cid = ci.parent(cid, expand_level)
+            lvl = expand_level
+        out.append(np.uint64([cid]))
+        if lvl == expand_level:
+            out.append(ci.all_neighbors(cid, expand_level))
         else:
+            # Coarser cell: ring of expand_level neighbors along its
+            # boundary (appendAllNeighbors semantics; denormalizing the
+            # whole cell is equivalent after normalize, interior subcells'
+            # neighbors are all contained).
             for sub in denormalize(np.uint64([cid]), expand_level).tolist():
-                extra.append(ci.all_neighbors(_U64(sub), expand_level))
-    if extra:
-        return normalize(np.concatenate([orig] + extra))
-    return normalize(orig)
+                out.append(ci.all_neighbors(_U64(sub), expand_level))
+    if not out:
+        return normalize(orig)
+    return normalize(np.concatenate(out))
 
 
 def expand_radius(ids, radius_rad, max_level_diff=3):
@@ -101,7 +112,8 @@ def expand_radius(ids, radius_rad, max_level_diff=3):
         min_level = min(min_level, int(ci.level(_U64(cid))))
     level = MIN_WIDTH.get_level_for_min_value(radius_rad)
     if level == 0 and radius_rad > MIN_WIDTH.get_value(0):
-        return expand_level(ids, 0)
+        # Wider than a face cell: expand twice (s2cell_union.d:549-553).
+        ids = expand_level(ids, 0)
     return expand_level(ids, min(min_level + max_level_diff, level))
 
 
@@ -207,7 +219,21 @@ def average_based_area(ids):
     return AVG_AREA.get_value(ci.MAX_LEVEL) * leaf_cells_covered(ids)
 
 
+def _are_siblings(a, b, c, d):
+    """Four ids form a complete sibling quadruple (s2cell_union.d:183-199:
+    XOR of the first three equals the fourth, common masked prefix)."""
+    if (a ^ b ^ c) != d:
+        return False
+    mask = (int(ci.lsb(_U64(d))) << 1)
+    mask = ~(mask + (mask << 1)) & ((1 << 64) - 1)
+    dm = d & mask
+    return ((a & mask) == dm and (b & mask) == dm and (c & mask) == dm
+            and int(ci.level(_U64(d))) > 0)
+
+
 def is_normalized(ids):
+    """Sorted, non-overlapping, and no four cells mergeable into a parent
+    (s2cell_union.d isNormalized)."""
     ids = np.asarray(ids, dtype=np.uint64)
     if len(ids) <= 1:
         return True
@@ -215,4 +241,46 @@ def is_normalized(ids):
         return False
     if ci.contains(ids[:-1], ids[1:]).any():
         return False
+    lst = [int(v) for v in ids]
+    for i in range(3, len(lst)):
+        if _are_siblings(lst[i - 3], lst[i - 2], lst[i - 1], lst[i]):
+            return False
     return True
+
+
+def is_valid(ids):
+    """Valid cell ids in sorted order with no containment
+    (s2cell_union.d isValid)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    if len(ids) == 0:
+        return True
+    if not all(ci.is_valid(i) for i in ids):
+        return False
+    if len(ids) == 1:
+        return True
+    if not (ids[:-1] < ids[1:]).all():
+        return False
+    return not ci.contains(ids[:-1], ids[1:]).any()
+
+
+def from_begin_end(begin, end):
+    """Minimal normalized union covering leaf range [begin, end)
+    (s2cell_union.d fromBeginEnd via maximumTile)."""
+    out = []
+    cid = int(begin)
+    end = int(end)
+    while cid < end:
+        tile = int(ci.maximum_tile(np.uint64(cid), np.uint64(end)))
+        out.append(tile)
+        # Advance to the leaf AFTER this tile's range (rangeMax().next(),
+        # which steps by 2 — even ids are not valid cell ids).
+        cid = int(ci.next_id(ci.range_max(np.uint64(tile))))
+    # The output is already normalized (maximumTile produces maximal,
+    # disjoint, sorted cells).
+    return np.asarray(out, dtype=np.uint64)
+
+
+def from_min_max(min_id, max_id):
+    """Minimal normalized union covering leaf range [min_id, max_id]
+    (s2cell_union.d fromMinMax)."""
+    return from_begin_end(min_id, int(ci.next_id(np.uint64(max_id))))
