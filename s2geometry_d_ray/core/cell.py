@@ -254,6 +254,179 @@ class Cell:
         return float(edge_distances2(np.asarray(p, dtype=float)[None, :],
                                      v, nxt).min())
 
+    # -- faithful UVW-space distance methods (s2cell.d:301-449,669-812) ----
+    def _vertex_chord_dist2(self, target_uvw, i, j):
+        """Chord2 from target (in UVW space) to vertex (u_i, v_j, 1)
+        normalized (s2cell.d vertexChordDist)."""
+        u = (self.u_lo, self.u_hi)[i]
+        v = (self.v_lo, self.v_hi)[j]
+        n = math.sqrt(u * u + v * v + 1.0)
+        dx = target_uvw[0] - u / n
+        dy = target_uvw[1] - v / n
+        dz = target_uvw[2] - 1.0 / n
+        return min(4.0, dx * dx + dy * dy + dz * dz)
+
+    def _u_edge_is_closest(self, p, v_end):
+        """P closer to the interior of the lower/upper edge than to its
+        endpoints (s2cell.d UEdgeIsClosest)."""
+        u0, u1 = self.u_lo, self.u_hi
+        v = (self.v_lo, self.v_hi)[v_end]
+        dir0 = (v * v + 1, -u0 * v, -u0)
+        dir1 = (v * v + 1, -u1 * v, -u1)
+        return (p[0] * dir0[0] + p[1] * dir0[1] + p[2] * dir0[2] > 0
+                and p[0] * dir1[0] + p[1] * dir1[1] + p[2] * dir1[2] < 0)
+
+    def _v_edge_is_closest(self, p, u_end):
+        """s2cell.d VEdgeIsClosest."""
+        v0, v1 = self.v_lo, self.v_hi
+        u = (self.u_lo, self.u_hi)[u_end]
+        dir0 = (-u * v0, u * u + 1, -v0)
+        dir1 = (-u * v1, u * u + 1, -v1)
+        return (p[0] * dir0[0] + p[1] * dir0[1] + p[2] * dir0[2] > 0
+                and p[0] * dir1[0] + p[1] * dir1[1] + p[2] * dir1[2] < 0)
+
+    @staticmethod
+    def _edge_distance2(dir_ij, uv):
+        """Chord2 from P to a u/v-edge given the dot product with the edge
+        normal (s2cell.d edgeDistance)."""
+        pq2 = (dir_ij * dir_ij) / (1 + uv * uv)
+        qr = 1 - math.sqrt(max(0.0, 1.0 - pq2))
+        return min(4.0, pq2 + qr * qr)
+
+    def _distance_internal2(self, target_xyz, to_interior):
+        """getDistanceInternal: all work in this face's UVW coordinates
+        (s2cell.d:703-760)."""
+        from .edge_clipping import face_xyz_to_uvw
+        t = face_xyz_to_uvw(self.face, target_xyz)
+        t = (float(t[0]), float(t[1]), float(t[2]))
+        dir00 = t[0] - t[2] * self.u_lo
+        dir01 = t[0] - t[2] * self.u_hi
+        dir10 = t[1] - t[2] * self.v_lo
+        dir11 = t[1] - t[2] * self.v_hi
+        inside = True
+        if dir00 < 0:
+            inside = False
+            if self._v_edge_is_closest(t, 0):
+                return self._edge_distance2(-dir00, self.u_lo)
+        if dir01 > 0:
+            inside = False
+            if self._v_edge_is_closest(t, 1):
+                return self._edge_distance2(dir01, self.u_hi)
+        if dir10 < 0:
+            inside = False
+            if self._u_edge_is_closest(t, 0):
+                return self._edge_distance2(-dir10, self.v_lo)
+        if dir11 > 0:
+            inside = False
+            if self._u_edge_is_closest(t, 1):
+                return self._edge_distance2(dir11, self.v_hi)
+        if inside:
+            if to_interior:
+                return 0.0
+            return min(self._edge_distance2(-dir00, self.u_lo),
+                       self._edge_distance2(dir01, self.u_hi),
+                       self._edge_distance2(-dir10, self.v_lo),
+                       self._edge_distance2(dir11, self.v_hi))
+        return min(self._vertex_chord_dist2(t, 0, 0),
+                   self._vertex_chord_dist2(t, 1, 0),
+                   self._vertex_chord_dist2(t, 0, 1),
+                   self._vertex_chord_dist2(t, 1, 1))
+
+    def get_distance2(self, target):
+        """Chord2 to the cell interior (s2cell.d:301-303)."""
+        return self._distance_internal2(target, True)
+
+    def get_boundary_distance2(self, target):
+        """Chord2 to the cell boundary (s2cell.d:306-308)."""
+        return self._distance_internal2(target, False)
+
+    def get_max_distance2(self, target):
+        """Max chord2 from the cell to the point (s2cell.d:311-326)."""
+        from .cap import chord2_sub
+        from .edge_clipping import face_xyz_to_uvw
+        t = face_xyz_to_uvw(self.face, target)
+        t = (float(t[0]), float(t[1]), float(t[2]))
+        max_dist = max(self._vertex_chord_dist2(t, 0, 0),
+                       self._vertex_chord_dist2(t, 1, 0),
+                       self._vertex_chord_dist2(t, 0, 1),
+                       self._vertex_chord_dist2(t, 1, 1))
+        if max_dist <= 2.0:  # right angle
+            return max_dist
+        anti = (-target[0], -target[1], -target[2])
+        return chord2_sub(4.0, self.get_distance2(anti))
+
+    def get_distance2_to_edge(self, a, b):
+        """Min chord2 from the cell to edge AB; 0 if AB intersects the
+        cell interior (s2cell.d:331-372)."""
+        from .edge import edge_distances2
+        import numpy as np
+        min_dist = min(self.get_distance2(a), self.get_distance2(b))
+        if min_dist == 0.0:
+            return 0.0
+        from .edge_crosser import EdgeCrosser
+        v = [self.vertex(k) for k in range(4)]
+        crosser = EdgeCrosser(tuple(a), tuple(b), v[3])
+        for i in range(4):
+            if crosser.crossing_sign(v[i]) >= 0:
+                return 0.0
+        va = np.asarray(v)
+        ab_a = np.asarray(a, dtype=np.float64)[None, :]
+        ab_b = np.asarray(b, dtype=np.float64)[None, :]
+        d = float(edge_distances2(va, ab_a, ab_b).min())
+        return min(min_dist, d)
+
+    def get_max_distance2_to_edge(self, a, b):
+        """Max chord2 from the cell to edge AB (s2cell.d:377-387)."""
+        from .cap import chord2_sub
+        max_dist = max(self.get_max_distance2(a), self.get_max_distance2(b))
+        if max_dist <= 2.0:
+            return max_dist
+        na = (-a[0], -a[1], -a[2])
+        nb = (-b[0], -b[1], -b[2])
+        return chord2_sub(4.0, self.get_distance2_to_edge(na, nb))
+
+    def _uv_intersects(self, other):
+        return (self.u_lo <= other.u_hi and other.u_lo <= self.u_hi
+                and self.v_lo <= other.v_hi and other.v_lo <= self.v_hi)
+
+    def get_distance2_to_cell(self, target):
+        """Min chord2 between two cells; 0 when they touch
+        (s2cell.d:391-419)."""
+        import numpy as np
+        from .edge import edge_distances2
+        if self.face == target.face and self._uv_intersects(target):
+            return 0.0
+        va = np.asarray(self.vertices())
+        vb = np.asarray(target.vertices())
+        d1 = edge_distances2(va, vb, vb[[1, 2, 3, 0]]).min()
+        d2 = edge_distances2(vb, va, va[[1, 2, 3, 0]]).min()
+        return float(min(d1, d2))
+
+    def get_max_distance2_to_cell(self, target):
+        """Max chord2 between two cells; 4 (straight) when the antipodal
+        target touches this cell (s2cell.d:422-449)."""
+        import numpy as np
+        from .edge import max_distance2
+        opposite_face = target.face - 3 if target.face >= 3 \
+            else target.face + 3
+        # The antipodal UV is the transpose of the original UV on the
+        # opposite face (s2cell.d oppositeUV).
+        if self.face == opposite_face:
+            if (self.u_lo <= target.v_hi and target.v_lo <= self.u_hi
+                    and self.v_lo <= target.u_hi
+                    and target.u_lo <= self.v_hi):
+                return 4.0
+        va = [self.vertex(k) for k in range(4)]
+        vb = [target.vertex(k) for k in range(4)]
+        max_dist = -1.0
+        for i in range(4):
+            for j in range(4):
+                max_dist = max(
+                    max_dist,
+                    max_distance2(va[i], vb[j], vb[(j + 1) & 3]),
+                    max_distance2(vb[i], va[j], va[(j + 1) & 3]))
+        return max_dist
+
 
 def _expand_endpoint(u, max_v, sin_dist):
     """Shift the line u=const just enough that its distance to the edge

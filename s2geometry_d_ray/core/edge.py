@@ -29,7 +29,10 @@ def edge_distances2(x, a, b):
     vertex_d2 = np.minimum(xa2, xb2)
     # Interior case prefilter: max < min + ab^2 (planar acuteness).
     maybe_interior = np.maximum(xa2, xb2) < vertex_d2 + ab2[None, :]
-    c = np.cross(a, b)                                # (n,3)
+    # Stable cross product (b+a)x(b-a) = 2 a x b, matching robustCrossProd's
+    # leading term (s2edge_crossings.d); the 2x scale cancels in every
+    # ratio below while avoiding catastrophic cancellation for short edges.
+    c = np.cross(b + a, b - a)                        # (n,3)
     c2 = _norm2(c)                                    # (n,)
     x_dot_c = x @ c.T                                 # (m,n)
     # Wedge test: a.(c x x) >= 0 or b.(c x x) <= 0 -> vertex case.
