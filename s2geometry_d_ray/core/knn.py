@@ -55,6 +55,53 @@ class PointIndex:
         return len(self.cells)
 
 
+class PointIndexIterator:
+    """Sorted-entry iterator over a PointIndex (s2point_index.d Iterator):
+    begin/finish/next/prev/seek/done plus id/point/data accessors.
+    Entries are ordered by leaf cell id (ties in insertion order)."""
+
+    def __init__(self, index: PointIndex):
+        self.index = index
+        self.pos = 0
+
+    def begin(self):
+        self.pos = 0
+
+    def finish(self):
+        self.pos = len(self.index)
+
+    def done(self):
+        return self.pos >= len(self.index)
+
+    def id(self):
+        return int(self.index.cells[self.pos])
+
+    def point(self):
+        return self.index.points[self.pos]
+
+    def data(self):
+        return int(self.index.data[self.pos])
+
+    def next(self):
+        self.pos += 1
+
+    def prev(self):
+        if self.pos == 0:
+            return False
+        self.pos -= 1
+        return True
+
+    def seek(self, target_cell_id):
+        self.pos = int(np.searchsorted(self.index.cells,
+                                       np.uint64(target_cell_id),
+                                       side="left"))
+
+    def copy(self):
+        it = PointIndexIterator(self.index)
+        it.pos = self.pos
+        return it
+
+
 def _chord2(points, target):
     d = points - np.asarray(target)[None, :]
     return (d * d).sum(axis=1)

@@ -30,10 +30,16 @@ def turn_angle(a, b, c):
 
 
 def girard_area(a, b, c):
-    """Triangle area by Girard's formula (s2measures.d:108-125)."""
-    ab = np.cross(a, b)
-    bc = np.cross(b, c)
-    ac = np.cross(a, c)
+    """Triangle area by Girard's formula (s2measures.d:147-157).
+    robustCrossProd is required for accuracy when two input points are
+    very close together (the reference's 1e-15-perturbation sweep)."""
+    from .edge_clipping import robust_cross_prod
+    ab = robust_cross_prod(np.asarray(a, dtype=np.float64),
+                           np.asarray(b, dtype=np.float64))
+    bc = robust_cross_prod(np.asarray(b, dtype=np.float64),
+                           np.asarray(c, dtype=np.float64))
+    ac = robust_cross_prod(np.asarray(a, dtype=np.float64),
+                           np.asarray(c, dtype=np.float64))
     if np.linalg.norm(ab) == 0 or np.linalg.norm(bc) == 0 or \
             np.linalg.norm(ac) == 0:
         return 0.0

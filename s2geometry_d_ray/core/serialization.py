@@ -103,27 +103,70 @@ class ValueLexicon:
     def value(self, vid):
         return self._values[vid]
 
+    def clear(self):
+        self._ids.clear()
+        self._values.clear()
+
     def __len__(self):
         return len(self._values)
+
+
+class SequenceLexicon:
+    """Dedup dictionary sequence -> int32 id (src/s2/sequence_lexicon.d);
+    unlike ValueLexicon the elements keep their order and multiplicity."""
+
+    def __init__(self, original=None):
+        self._ids = dict(original._ids) if original is not None else {}
+        self._seqs = list(original._seqs) if original is not None else []
+
+    def add(self, seq):
+        key = tuple(seq)
+        sid = self._ids.get(key)
+        if sid is None:
+            sid = len(self._seqs)
+            self._ids[key] = sid
+            self._seqs.append(key)
+        return sid
+
+    def sequence(self, sid):
+        return list(self._seqs[sid])
+
+    def size(self):
+        return len(self._seqs)
+
+    def clear(self):
+        self._ids.clear()
+        self._seqs.clear()
 
 
 class IdSetLexicon:
     """Dedup dictionary for SETS of ids (src/s2/id_set_lexicon.d:71):
     singletons encode inline as non-negative ids; multi-sets get
-    ~index ids, mirroring the reference's encoding trick."""
+    ~index ids; the empty set has a reserved id, mirroring the
+    reference's encoding trick."""
+
+    EMPTY_SET_ID = -(2 ** 31)
 
     def __init__(self):
         self._sets = ValueLexicon()
 
     def add(self, ids):
         ids = sorted(set(int(v) for v in ids))
+        if not ids:
+            return self.EMPTY_SET_ID
         if len(ids) == 1:
             return ids[0]
-        if not ids:
-            ids = ()
         return ~self._sets.add(tuple(ids))
 
+    def add_singleton(self, single_id):
+        return int(single_id)
+
     def id_set(self, set_id):
+        if set_id == self.EMPTY_SET_ID:
+            return ()
         if set_id >= 0:
             return (set_id,)
         return self._sets.value(~set_id)
+
+    def clear(self):
+        self._sets.clear()

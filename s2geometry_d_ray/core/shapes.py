@@ -125,7 +125,15 @@ def _reference_point_at_vertex(shape, vtest):
 
 def get_reference_point(shape):
     """(point, contained) for interior-on-left closed shapes
-    (get_reference_point.d:48-96)."""
+    (get_reference_point.d:48-96).  Shapes may override via a
+    reference_point() method (the lax loop shapes treat a zero-vertex
+    loop as empty rather than full)."""
+    if hasattr(shape, "reference_point"):
+        return shape.reference_point()
+    return _generic_reference_point(shape)
+
+
+def _generic_reference_point(shape):
     origin = np.asarray(ORIGIN)
     if shape.num_edges() == 0:
         # full iff the shape contains any (empty) loop
@@ -242,6 +250,62 @@ class LaxLoopShape(LaxPolygonShape):
 
     def __init__(self, vertices):
         super().__init__([vertices] if len(vertices) else [])
+
+
+class LaxClosedPolylineShape(LaxLoopShape):
+    """Like LaxLoopShape but with no interior: a closed polyline,
+    dimension 1 (s2lax_loop_shape.d S2LaxClosedPolylineShape)."""
+
+    def dimension(self):
+        return 1
+
+    def has_interior(self):
+        return False
+
+
+class VertexIdLaxLoopShape:
+    """A closed loop defined by vertex ids into a shared vertex array
+    (s2lax_loop_shape.d S2VertexIdLaxLoopShape); interior on the left,
+    always dimension 2 (even when empty)."""
+
+    def __init__(self, vertex_ids, vertex_array):
+        self.vertex_ids = list(vertex_ids)
+        self.vertex_array = (np.asarray(vertex_array, dtype=np.float64)
+                             if vertex_array is not None
+                             and len(vertex_array)
+                             else np.empty((0, 3)))
+
+    def num_vertices(self):
+        return len(self.vertex_ids)
+
+    def vertex(self, i):
+        return self.vertex_array[self.vertex_ids[i]]
+
+    def num_edges(self):
+        return len(self.vertex_ids)
+
+    def edge(self, e):
+        n = len(self.vertex_ids)
+        return (self.vertex(e), self.vertex((e + 1) % n))
+
+    def dimension(self):
+        return 2
+
+    def has_interior(self):
+        return True
+
+    def num_chains(self):
+        return 1
+
+    def chain(self, i):
+        return (0, len(self.vertex_ids))
+
+    def reference_point(self):
+        # A loop with no vertices is empty, not full
+        # (s2lax_loop_shape.d:256-259).
+        if not self.vertex_ids:
+            return np.asarray(ORIGIN), False
+        return _generic_reference_point(self)
 
 
 class ShapeIndexRegion:
