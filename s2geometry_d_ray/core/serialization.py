@@ -54,6 +54,22 @@ def decode_polygon(blob: bytes):
     return Polygon(loops)
 
 
+def encode_polyline(polyline) -> bytes:
+    """Lossless polyline codec (s2polyline.d encode: version + vertices).
+    Format: u8 version=1 | u32 n_vertices | n*3 float64 xyz."""
+    v = np.ascontiguousarray(polyline.vertices, dtype="<f8")
+    return struct.pack("<BI", 1, len(v)) + v.tobytes()
+
+
+def decode_polyline(blob: bytes):
+    from .polyline import Polyline
+    ver, n = struct.unpack_from("<BI", blob, 0)
+    assert ver == 1
+    v = np.frombuffer(blob, dtype="<f8", count=3 * n,
+                      offset=5).reshape(n, 3).copy()
+    return Polyline(v)
+
+
 def encode_point_compressed(x, y, z, level=30):
     """S2XYZFaceSiTi-style compression (s2point_compression.d:55): snap
     each point to the cell center at `level` and store (face, si, ti)

@@ -825,20 +825,27 @@ WITH base AS (
     sin(radians(lat0+1.0)) AS cxz
   FROM base
 ), ang AS (
+  -- atan2(|a x b|, a.b), the S1Angle form used by Polyline._edge_angles
   SELECT *,
-    acos(least(1.0, greatest(-1.0, axx*bxx + axy*bxy + axz*bxz))) AS ang1,
-    acos(least(1.0, greatest(-1.0, bxx*cxx + bxy*cxy + bxz*cxz))) AS ang2
+    atan2(sqrt((axy*bxz - axz*bxy)*(axy*bxz - axz*bxy)
+             + (axz*bxx - axx*bxz)*(axz*bxx - axx*bxz)
+             + (axx*bxy - axy*bxx)*(axx*bxy - axy*bxx)),
+          axx*bxx + axy*bxy + axz*bxz) AS ang1,
+    atan2(sqrt((bxy*cxz - bxz*cxy)*(bxy*cxz - bxz*cxy)
+             + (bxz*cxx - bxx*cxz)*(bxz*cxx - bxx*cxz)
+             + (bxx*cxy - bxy*cxx)*(bxx*cxy - bxy*cxx)),
+          bxx*cxx + bxy*cxy + bxz*cxz) AS ang2
   FROM v
 ), pick AS (
   SELECT *,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN least(0.5*(ang1+ang2), ang1)
-         ELSE least(0.5*(ang1+ang2) - ang1, ang2) END AS d,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axx ELSE bxx END AS pax,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axy ELSE bxy END AS pay,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN axz ELSE bxz END AS paz,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxx ELSE cxx END AS pbx,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxy ELSE cxy END AS pby,
-    CASE WHEN 0.5*(ang1+ang2) <= ang1 THEN bxz ELSE cxz END AS pbz
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN 0.5*(ang1+ang2)
+         ELSE 0.5*(ang1+ang2) - ang1 END AS d,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN axx ELSE bxx END AS pax,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN axy ELSE bxy END AS pay,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN axz ELSE bxz END AS paz,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN bxx ELSE cxx END AS pbx,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN bxy ELSE cxy END AS pby,
+    CASE WHEN 0.5*(ang1+ang2) < ang1 THEN bxz ELSE cxz END AS pbz
   FROM ang
 ), crossn AS (
   SELECT *, pay*pbz - paz*pby AS nx, paz*pbx - pax*pbz AS ny,
