@@ -13,6 +13,8 @@ All functions are vectorized over numpy arrays and also accept scalars.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 MAX_LEVEL = 30
@@ -174,6 +176,88 @@ def face_si_ti_to_xyz(face, si, ti):
     u = st_to_uv(si_ti_to_st(si))
     v = st_to_uv(si_ti_to_st(ti))
     return face_uv_to_xyz(face, u, v)
+
+
+# Per-face (u, v, w) axes and the neighboring face across each axis
+# (s2coords.d:515-556 FACE_UVW_AXES / FACE_UVW_FACES).
+FACE_UVW_AXES = np.array([
+    [[0, 1, 0], [0, 0, 1], [1, 0, 0]],
+    [[-1, 0, 0], [0, 0, 1], [0, 1, 0]],
+    [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],
+    [[0, 0, -1], [0, -1, 0], [-1, 0, 0]],
+    [[0, 0, -1], [1, 0, 0], [0, -1, 0]],
+    [[0, 1, 0], [1, 0, 0], [0, 0, -1]],
+], dtype=np.float64)
+
+FACE_UVW_FACES = np.array([
+    [[4, 1], [5, 2], [3, 0]],
+    [[0, 3], [5, 2], [4, 1]],
+    [[0, 3], [1, 4], [5, 2]],
+    [[2, 5], [1, 4], [0, 3]],
+    [[2, 5], [3, 0], [1, 4]],
+    [[4, 1], [3, 0], [2, 5]],
+])
+
+
+def get_uvw_axis(face, axis):
+    """Unit u-, v- or w-axis of a face (s2coords.d:330-337)."""
+    return FACE_UVW_AXES[face][axis].copy()
+
+
+def get_u_axis(face):
+    return get_uvw_axis(face, 0)
+
+
+def get_v_axis(face):
+    return get_uvw_axis(face, 1)
+
+
+def get_norm(face):
+    return get_uvw_axis(face, 2)
+
+
+def get_uvw_face(face, axis, direction):
+    """Neighboring face in the given direction of the given axis
+    (s2coords.d:343-350)."""
+    return int(FACE_UVW_FACES[face][axis][direction])
+
+
+def get_u_norm(face, u):
+    """Right-handed normal for an edge along +v at the given u
+    (s2coords.d:294-303)."""
+    return np.array([
+        (u, -1.0, 0.0), (1.0, u, 0.0), (1.0, 0.0, u),
+        (-u, 0.0, 1.0), (0.0, -u, 1.0), (0.0, -1.0, -u)][face])
+
+
+def get_v_norm(face, v):
+    """Right-handed normal for an edge along +u at the given v
+    (s2coords.d:309-318)."""
+    return np.array([
+        (-v, 0.0, 1.0), (0.0, -v, 1.0), (0.0, -1.0, -v),
+        (v, -1.0, 0.0), (1.0, v, 0.0), (1.0, 0.0, v)][face])
+
+
+def xyz_to_face_si_ti(p):
+    """(level, face, si, ti): level == -1 unless p is EXACTLY a cell
+    center (s2coords.d:257-280)."""
+    x, y, z = float(p[0]), float(p[1]), float(p[2])
+    face, u, v = xyz_to_face_uv(x, y, z)
+    si = int(st_to_si_ti(uv_to_st(u)))
+    ti = int(st_to_si_ti(uv_to_st(v)))
+    max_si_ti = int(MAX_SI_TI)
+
+    def bsf(n):
+        return (n & -n).bit_length() - 1
+
+    level = MAX_LEVEL - bsf(si | max_si_ti)
+    if level < 0 or level != MAX_LEVEL - bsf(ti | max_si_ti):
+        return -1, face, si, ti
+    cx, cy, cz = (float(a) for a in face_si_ti_to_xyz(face, si, ti))
+    n = math.sqrt(cx * cx + cy * cy + cz * cz)
+    if (x, y, z) == (cx / n, cy / n, cz / n):
+        return level, face, si, ti
+    return -1, face, si, ti
 
 
 def latlng_to_xyz(lat_deg, lon_deg):
