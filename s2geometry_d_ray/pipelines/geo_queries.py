@@ -577,8 +577,68 @@ def geo_radius_join(sf_dir, radius_km=800.0):
                                           zero_copy_batch=True)
 
 
+def geo_boolean_mixed(sf_dir):
+    """Mixed-dimension S2BooleanOperation over nation-derived fixtures:
+    per nation a square polygon, a polyline that coincides with one of
+    its boundary edges (forward for even keys, reversed for odd), one
+    interior point and one exterior point, evaluated under the polygon
+    model selected by key % 3.  Emits the INTERSECTION / UNION
+    non-degenerate dim-1 edge counts, the kept point count, and the kept
+    intersection arc length — all of which follow the reference's
+    shared-edge model rules (core/boolean_operation.py, validated
+    against the full s2boolean_operation_test port), replayed as CASE
+    logic + the atan2 arc-length chain in SQL."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from ..core import coords
+    from ..core.boolean_operation import (BooleanOptions, CLOSED,
+                                          INTERSECTION, OPEN, SEMI_OPEN,
+                                          UNION, boolean_operation_edges)
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    models = [OPEN, SEMI_OPEN, CLOSED]
+
+    def pt(lat, lon):
+        x, y, z = coords.latlng_to_xyz(float(lat), float(lon))
+        return (float(x), float(y), float(z))
+
+    rows = []
+    for key in nat["n_nationkey"].tolist():
+        la = (key * 37) % 116 - 58.0
+        lo = (key * 73) % 296 - 148.0
+        v0, v1, v2, v3 = (pt(la, lo), pt(la, lo + 2),
+                          pt(la + 2, lo + 2), pt(la + 2, lo))
+        line = [v0, v1] if key % 2 == 0 else [v1, v0]
+        a = {"points": [pt(la + 1.0, lo + 1.0), pt(la - 1.0, lo - 1.0)],
+             "polylines": [line], "polygons": []}
+        b = {"points": [], "polylines": [],
+             "polygons": [[[v0, v1, v2, v3]]]}
+        options = BooleanOptions(polygon_model=models[key % 3])
+        inter = boolean_operation_edges(INTERSECTION, a, b, options)
+        union = boolean_operation_edges(UNION, a, b, options)
+
+        def real_edges(edges):
+            return [(p, q) for (p, q) in edges if p != q]
+
+        arc = 0.0
+        for p, q in real_edges(inter[1]):
+            import numpy as np
+            pq = np.cross(p, q)
+            arc += math.atan2(float(np.linalg.norm(pq)),
+                              float(np.dot(p, q)))
+        rows.append((key, len(inter[0]), len(real_edges(inter[1])),
+                     len(real_edges(union[1])), len(union[2]),
+                     round(arc, 12)))
+    return pd.DataFrame(rows, columns=[
+        "n_nationkey", "n_inter_points", "n_inter_line_edges",
+        "n_union_line_edges", "n_union_poly_edges", "inter_len_rad"])
+
+
 QUERIES = {
     "geo_points": geo_points,
+    "geo_boolean_mixed": geo_boolean_mixed,
     "geo_bbox_filter": geo_bbox_filter,
     "geo_rect_join": geo_rect_join,
     "geo_grid_tile_count": geo_grid_tile_count,
@@ -659,6 +719,45 @@ SELECT p.doc_id AS doc_id, CAST(e.polygon_id AS BIGINT) AS polygon_id
 FROM pts p, edges e
 GROUP BY 1, 2
 HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
+"""
+
+# Mixed boolean operation: the kept/absorbed decisions follow the
+# polygon-model shared-edge rules (forward edges absorbed under
+# SEMI_OPEN/CLOSED, reversed only under CLOSED); the kept arc length
+# replays the atan2(|cross|, dot) chain bit-identically.
+ORACLE["geo_boolean_mixed"] = r"""
+WITH base AS (
+  SELECT n_nationkey,
+    CAST((n_nationkey * 37) % 116 - 58.0 AS DOUBLE) AS la,
+    CAST((n_nationkey * 73) % 296 - 148.0 AS DOUBLE) AS lo,
+    n_nationkey % 2 AS par, n_nationkey % 3 AS model
+  FROM nation
+), v AS (
+  SELECT *,
+    cos(radians(la))*cos(radians(lo)) AS ax,
+    cos(radians(la))*sin(radians(lo)) AS ay,
+    sin(radians(la)) AS az,
+    cos(radians(la))*cos(radians(lo+2.0)) AS bx,
+    cos(radians(la))*sin(radians(lo+2.0)) AS by,
+    sin(radians(la)) AS bz
+  FROM base
+), keepx AS (
+  SELECT *,
+    CASE WHEN (par = 0 AND model <> 0) OR (par = 1 AND model = 2)
+         THEN 1 ELSE 0 END AS kept
+  FROM v
+)
+SELECT n_nationkey,
+  CAST(1 AS BIGINT) AS n_inter_points,
+  CAST(kept AS BIGINT) AS n_inter_line_edges,
+  CAST(1 - kept AS BIGINT) AS n_union_line_edges,
+  CAST(4 AS BIGINT) AS n_union_poly_edges,
+  ROUND(CASE WHEN kept = 1
+    THEN atan2(sqrt((ay*bz - az*by)*(ay*bz - az*by)
+        + (az*bx - ax*bz)*(az*bx - ax*bz)
+        + (ax*by - ay*bx)*(ax*by - ay*bx)), ax*bx + ay*by + az*bz)
+    ELSE 0.0 END, 12) AS inter_len_rad
+FROM keepx
 """
 
 # radius join: same chord-distance formula as geo_knn's oracle.
