@@ -308,6 +308,131 @@ class VertexIdLaxLoopShape:
         return _generic_reference_point(self)
 
 
+class ShapeCollectionRegion:
+    """S2ShapeIndexRegion over a generic shape collection
+    (src/s2/s2shape_index_region.d:69-316).
+
+    The reference walks its quadtree index cells; this reformulation
+    uses one "index cell" per shape (the common-ancestor cell of the
+    shape's vertex leaves) and then applies the reference's
+    getCellUnionBound range algorithm: one shrunk cell per intersected
+    face, or per child of the spanning cell when a single face is
+    spanned.  contains/mayIntersect(cell) are answered exactly with the
+    UVW-space cell-edge distance kernels."""
+
+    def __init__(self, shapes):
+        self.shapes = [s for _, s in shapes] if shapes and isinstance(
+            shapes[0], tuple) else list(shapes)
+
+    def _index_cells(self):
+        from . import cellid as ci
+        ids = []
+        for shape in self.shapes:
+            leaves = []
+            for e in range(shape.num_edges()):
+                for v in shape.edge(e):
+                    p = np.asarray(v, dtype=np.float64)
+                    leaves.append(int(ci.cellid_from_xyz(
+                        np.array([p[0]]), np.array([p[1]]),
+                        np.array([p[2]]))[0]))
+            if not leaves:
+                continue
+            cell = leaves[0]
+            for leaf in leaves[1:]:
+                lvl = ci.common_ancestor_level(np.uint64(cell),
+                                               np.uint64(leaf))
+                if lvl is None or lvl < 0:
+                    cell = None
+                    break
+                cell = ci.parent_scalar(leaf, int(lvl))
+            ids.append(cell)  # None = spans multiple faces
+        return sorted(int(i) for i in ids if i is not None)
+
+    def get_cell_union_bound(self):
+        from . import cellid as ci
+        cells = self._index_cells()
+        if not cells:
+            return []
+        first, last = cells[0], cells[-1]
+        out = []
+        if first != last:
+            lvl = ci.common_ancestor_level(np.uint64(first),
+                                           np.uint64(last))
+            level = (int(lvl) if lvl is not None and lvl >= 0 else -1) + 1
+            # One shrunk cell per level-`level` cell intersected.
+            groups = {}
+            for c in cells:
+                groups.setdefault(ci.parent_scalar(c, level), []).append(c)
+            for _, members in sorted(groups.items()):
+                lo, hi = members[0], members[-1]
+                lvl2 = ci.common_ancestor_level(np.uint64(lo),
+                                                np.uint64(hi))
+                out.append(ci.parent_scalar(hi, int(lvl2)))
+        else:
+            out.append(first)
+        return out
+
+    def get_cap_bound(self):
+        """S2CellUnion.getCapBound over the covering
+        (s2cell_union.d: area-weighted centroid + addCap)."""
+        from . import cellid as ci
+        from .cap import Cap
+        from .cell import Cell
+        cells = self.get_cell_union_bound()
+        if not cells:
+            return Cap((1.0, 0.0, 0.0), -1.0)
+        centroid = np.zeros(3)
+        for c in cells:
+            cell = Cell(np.uint64(c))
+            area = cell.average_area()
+            x, y, z = ci.to_xyz(np.array([c], dtype=np.uint64))
+            centroid += area * np.array([float(x[0]), float(y[0]),
+                                         float(z[0])])
+        n = np.linalg.norm(centroid)
+        center = tuple(centroid / n) if n > 0 else (1.0, 0.0, 0.0)
+        cap = Cap(center, -1.0)
+        for c in cells:
+            cap.add_cap(Cell(np.uint64(c)).cap_bound())
+        return cap
+
+    def get_rect_bound(self):
+        from .cell import Cell
+        from .rect import LatLngRect
+        bound = LatLngRect.empty()
+        for c in self.get_cell_union_bound():
+            bound = bound.union(Cell(np.uint64(c)).get_rect_bound())
+        return bound
+
+    def _shape_relation(self, shape, cell):
+        """(contains_center, touches): touches = some edge at distance
+        zero from the cell (crossing, inside, or boundary contact)."""
+        center = np.asarray(cell.center())
+        contains_center = shape.dimension() == 2 and contains_brute_force(
+            shape, center)
+        touches = False
+        for e in range(shape.num_edges()):
+            a, b = shape.edge(e)
+            a = tuple(float(x) for x in a)
+            b = tuple(float(x) for x in b)
+            d2 = cell.get_distance2(a) if a == b \
+                else cell.get_distance2_to_edge(a, b)
+            if d2 == 0.0:
+                touches = True
+                break
+        return contains_center, touches
+
+    def contains_cell(self, cell):
+        for shape in self.shapes:
+            contains_center, touches = self._shape_relation(shape, cell)
+            if contains_center and not touches:
+                return True
+        return False
+
+    def may_intersect_cell(self, cell):
+        return any(c or t for c, t in
+                   (self._shape_relation(s, cell) for s in self.shapes))
+
+
 class ShapeIndexRegion:
     """Region adapter over a PolygonShapeIndex so an indexed polygon can
     feed the coverer directly (src/s2/s2shape_index_region.d role)."""
