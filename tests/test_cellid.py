@@ -257,3 +257,55 @@ def test_hilbert_iteration():
     assert int(first[0]) == int(ci.range_min(np.uint64([1 << 60]))[0]) or \
         int(ci.level(first)[0]) == 30
     assert int(ci.prev_wrap(first)[0]) == int(last_leaf[0])
+
+
+def test_parent_child_relationships_fixture():
+    """Exact pos() arithmetic from the reference fixture
+    (s2cell_id_test.d:73-97): fromFacePosLevel(3, 0x12345678, 26)."""
+    level = 30 - 4
+    lsb_ = np.uint64(1) << np.uint64(2 * (30 - level))
+    pos = np.uint64(0x12345678)
+    cid = np.uint64((3 << 61)) | (pos & ~(lsb_ - np.uint64(1))) | lsb_
+
+    def pos_of(c):
+        return int(np.uint64(c) & np.uint64((1 << 61) - 1))
+
+    assert bool(ci.is_valid(cid))
+    assert int(np.uint64(cid) >> np.uint64(61)) == 3
+    assert pos_of(cid) == 0x12345700
+    assert int(ci.level(np.array([cid], dtype=np.uint64))[0]) == level
+    assert not bool(ci.is_leaf(cid))
+
+    assert pos_of(ci.child_begin(cid, level + 2)) == 0x12345610
+    assert pos_of(ci.child_begin(cid, level + 1)) == 0x12345640
+    assert pos_of(ci.parent(cid, level - 1)) == 0x12345400
+    assert pos_of(ci.parent(cid, level - 2)) == 0x12345000
+
+    assert int(ci.child_begin(cid, level + 1)) < int(cid)
+    assert int(ci.child_end(cid, level + 1)) > int(cid)
+    step = ci.child_begin(cid, level + 1)
+    for _ in range(4):
+        step = ci.next_id(step)
+    assert int(step) == int(ci.child_end(cid, level + 1))
+    assert int(ci.range_min(cid)) == int(ci.child_begin(cid, 30))
+    assert int(ci.next_id(ci.range_max(cid))) == int(ci.child_end(cid, 30))
+
+    # Cells are represented by their center position on the Hilbert curve.
+    assert 2 * int(cid) == int(ci.range_min(cid)) + int(ci.range_max(cid))
+
+
+def test_face_definitions():
+    """s2cell_id_test.d:56-64: lat/lng -> face mapping."""
+    def face_of(lat, lng):
+        x, y, z = coords.latlng_to_xyz(lat, lng)
+        leaf = ci.cellid_from_xyz(np.array([float(x)]),
+                                  np.array([float(y)]),
+                                  np.array([float(z)]))[0]
+        return int(np.uint64(leaf) >> np.uint64(61))
+
+    assert face_of(0, 0) == 0
+    assert face_of(0, 90) == 1
+    assert face_of(90, 0) == 2
+    assert face_of(0, 180) == 3
+    assert face_of(0, -90) == 4
+    assert face_of(-90, 0) == 5
