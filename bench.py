@@ -191,8 +191,13 @@ def main():
         # BASELINE.md.
         pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16")
         n_lo, n_hi = (int(v) for v in pair.split(","))
-        lo = run_subprocess(n_lo, scaling=True)
-        hi = run_subprocess(n_hi, scaling=True)
+        # Best-of-N per leg (symmetric), to damp co-tenant noise on the
+        # shared box; each leg is a fresh ray session in a subprocess.
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        lo = min((run_subprocess(n_lo, scaling=True) for _ in range(reps)),
+                 key=lambda r: r["value"])
+        hi = min((run_subprocess(n_hi, scaling=True) for _ in range(reps)),
+                 key=lambda r: r["value"])
         eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
         print(json.dumps({
             "metric": f"scaling efficiency ({n_lo} -> {n_hi} CPUs, "

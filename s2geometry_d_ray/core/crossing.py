@@ -103,6 +103,62 @@ def crossing_edge_pairs(index_a, index_b):
     return sorted(pairs)
 
 
+def crossing_edge_pairs_within(edges, crossing_type="ALL"):
+    """All crossing pairs (i, j), i < j, WITHIN one edge collection —
+    the shapeutil.visitCrossingEdgePairs single-index form
+    (visit_crossing_edge_pairs.d:54-120).  CrossingType ALL includes
+    shared-vertex touches (crossingSign >= 0); INTERIOR only proper
+    crossings.  Brute force below the reference threshold, else bucket
+    co-location: each edge is registered on its endpoint parents at a
+    level coarse enough for the 3x3 neighbor-ring guarantee."""
+    min_sign = 0 if crossing_type == "ALL" else 1
+    pts = [(tuple(np.asarray(a, dtype=np.float64)),
+            tuple(np.asarray(b, dtype=np.float64))) for a, b in edges]
+    n = len(pts)
+
+    def check(i, j):
+        return crossing_sign(pts[i][0], pts[i][1],
+                             pts[j][0], pts[j][1]) >= min_sign
+
+    if n <= MAX_BRUTE_FORCE_EDGES:
+        return [(i, j) for i in range(n) for j in range(i + 1, n)
+                if check(i, j)]
+
+    from .metrics import MIN_WIDTH
+    arr_a = np.array([p[0] for p in pts])
+    arr_b = np.array([p[1] for p in pts])
+    chord = np.linalg.norm(arr_a - arr_b, axis=1)
+    ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+    max_ang = float(ang.max()) if n else 0.0
+    level = max(0, min(22, MIN_WIDTH.get_level_for_min_value(
+        max(1e-12, max_ang) * 1.001)))
+    la = ci.parent(ci.cellid_from_xyz(arr_a[:, 0], arr_a[:, 1],
+                                      arr_a[:, 2]), level)
+    lb = ci.parent(ci.cellid_from_xyz(arr_b[:, 0], arr_b[:, 1],
+                                      arr_b[:, 2]), level)
+    buckets: dict[int, list] = {}
+    for i in range(n):
+        cells = {int(la[i]), int(lb[i])}
+        if level == 0:
+            cells.update((f << 61) | (1 << 60) for f in range(6))
+        else:
+            for c in (la[i], lb[i]):
+                cells.update(int(v) for v in
+                             ci.all_neighbors(np.uint64(c), level))
+        for c in cells:
+            buckets.setdefault(c, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = ids[x], ids[y]
+                if i > j:
+                    i, j = j, i
+                if (i, j) not in pairs and check(i, j):
+                    pairs.add((i, j))
+    return sorted(pairs)
+
+
 def polygons_boundaries_cross(index_a, index_b):
     """True if the two polygon boundaries properly cross anywhere."""
     b_min = ci.range_min(index_b.cells)
