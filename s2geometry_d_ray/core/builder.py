@@ -225,6 +225,131 @@ def process_graph_options(g: Graph, degenerate_edges="keep",
     return Graph(g.vertices, edges, ids)
 
 
+def process_edges(edges, input_id_set_ids, lexicon, edge_type="directed",
+                  degenerate_edges="keep", duplicate_edges="keep",
+                  sibling_pairs="keep"):
+    """Faithful Graph.processEdges port (builder/graph.d:1174-1446
+    EdgeProcessor): merge-join over the out-sorted and in-sorted edge
+    arrays, handling every (EdgeType x DegenerateEdges x DuplicateEdges
+    x SiblingPairs) combination, including the undirected-to-directed
+    halving under REQUIRE/CREATE and the merge-labels rule for any
+    discarding option.
+
+    edges: [(u, v)] integer vertex pairs; input_id_set_ids: parallel
+    IdSetLexicon set ids.  Returns (new_edges, new_input_id_set_ids,
+    new_edge_type, error) where error is None or
+    'missing_sibling' (BUILDER_MISSING_EXPECTED_SIBLING_EDGES)."""
+    n = len(edges)
+    new_edge_type = ("directed" if sibling_pairs in ("require", "create")
+                     else edge_type)
+    if n == 0:
+        return [], [], new_edge_type, None
+
+    def rev(e):
+        return (e[1], e[0])
+
+    out_order = sorted(range(n), key=lambda i: (edges[i], i))
+    in_order = sorted(range(n), key=lambda i: (rev(edges[i]), i))
+    new_edges, new_ids = [], []
+    error = None
+
+    def add(k, e, sid):
+        for _ in range(k):
+            new_edges.append(e)
+            new_ids.append(sid)
+
+    def copy_edges(b, e_):
+        for i in range(b, e_):
+            new_edges.append(edges[out_order[i]])
+            new_ids.append(input_id_set_ids[out_order[i]])
+
+    def merge_ids(b, e_):
+        if e_ - b == 1:
+            return input_id_set_ids[out_order[b]]
+        tmp = []
+        for i in range(b, e_):
+            tmp.extend(lexicon.id_set(input_id_set_ids[out_order[i]]))
+        return lexicon.add(tmp)
+
+    out_id = in_id = 0
+    while True:
+        oe = edges[out_order[out_id]] if out_id < n else None
+        ie = rev(edges[in_order[in_id]]) if in_id < n else None
+        if oe is None and ie is None:
+            break
+        edge = min(x for x in (oe, ie) if x is not None)
+        out_begin, in_begin = out_id, in_id
+        while out_id < n and edges[out_order[out_id]] == edge:
+            out_id += 1
+        while in_id < n and rev(edges[in_order[in_id]]) == edge:
+            in_id += 1
+        n_out = out_id - out_begin
+        n_in = in_id - in_begin
+        if edge[0] == edge[1]:
+            if degenerate_edges == "discard":
+                continue
+            if degenerate_edges == "discard_excess" and (
+                    (out_begin > 0
+                     and edges[out_order[out_begin - 1]][0] == edge[0])
+                    or (out_id < n
+                        and edges[out_order[out_id]][0] == edge[0])
+                    or (in_begin > 0
+                        and edges[in_order[in_begin - 1]][1] == edge[0])
+                    or (in_id < n
+                        and edges[in_order[in_id]][1] == edge[0])):
+                continue  # non-degenerate incident edges exist
+            if edge_type == "undirected" and sibling_pairs in ("require",
+                                                               "create"):
+                add(1 if duplicate_edges == "merge" else n_out // 2,
+                    edge, merge_ids(out_begin, out_id))
+            elif duplicate_edges == "merge":
+                add(2 if edge_type == "undirected" else 1,
+                    edge, merge_ids(out_begin, out_id))
+            elif sibling_pairs in ("discard", "discard_excess"):
+                add(n_out, edge, merge_ids(out_begin, out_id))
+            else:
+                copy_edges(out_begin, out_id)
+        elif sibling_pairs == "keep":
+            if n_out > 1 and duplicate_edges == "merge":
+                add(1, edge, merge_ids(out_begin, out_id))
+            else:
+                copy_edges(out_begin, out_id)
+        elif sibling_pairs == "discard":
+            if edge_type == "directed":
+                if n_out <= n_in:
+                    continue
+                add(1 if duplicate_edges == "merge" else n_out - n_in,
+                    edge, merge_ids(out_begin, out_id))
+            else:
+                if (n_out & 1) == 0:
+                    continue
+                add(1, edge, merge_ids(out_begin, out_id))
+        elif sibling_pairs == "discard_excess":
+            if edge_type == "directed":
+                if n_out < n_in:
+                    continue
+                add(1 if duplicate_edges == "merge"
+                    else max(1, n_out - n_in),
+                    edge, merge_ids(out_begin, out_id))
+            else:
+                add(1 if (n_out & 1) else 2, edge,
+                    merge_ids(out_begin, out_id))
+        else:  # require / create
+            if (sibling_pairs == "require" and error is None
+                    and (n_out != n_in if edge_type == "directed"
+                         else (n_out & 1) != 0)):
+                error = "missing_sibling"
+            if duplicate_edges == "merge":
+                add(1, edge, merge_ids(out_begin, out_id))
+            elif edge_type == "undirected":
+                add((n_out + 1) // 2, edge, merge_ids(out_begin, out_id))
+            else:
+                copy_edges(out_begin, out_id)
+                if n_in > n_out:
+                    add(n_in - n_out, edge, lexicon.add(()))
+    return new_edges, new_ids, new_edge_type, error
+
+
 def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
     """Greedy maximal-edge walk over a chain using the ported
     PolylineSimplifier (the s2builder.d simplify pattern): every
