@@ -350,6 +350,203 @@ def process_edges(edges, input_id_set_ids, lexicon, edge_type="directed",
     return new_edges, new_ids, new_edge_type, error
 
 
+NO_INPUT_EDGE_ID = 1 << 60  # sorts last (graph.d:394 NO_INPUT_EDGE_ID)
+
+
+def get_polylines(edges, input_edge_ids, edge_type="directed",
+                  polyline_type="path"):
+    """Graph.getPolylines port (builder/graph.d PolylineBuilder):
+    assembles the graph edges into maximal polylines.  'path' breaks at
+    any vertex that cannot be in a polyline interior (degree rules per
+    edge type); 'walk' allows repeated vertices and splices loops back
+    into the walk (Eulerian-style), preferring the smallest input edge
+    id at each step for idempotency.
+
+    edges: [(u, v)] vertex-index pairs (undirected graphs must contain
+    sibling pairs); input_edge_ids: parallel lists of input ids (empty
+    for reverse siblings).  Returns a list of edge chains, each chain a
+    list of (u, v) pairs in walk order."""
+    n = len(edges)
+    if n == 0:
+        return []
+    # Graph invariant: edges sorted lexicographically (stable w.r.t. ids).
+    order = sorted(range(n), key=lambda e: (edges[e], e))
+    edges_s = [edges[i] for i in order]
+    ids_s = [list(input_edge_ids[i]) for i in order]
+    min_ids = [min(s) if s else NO_INPUT_EDGE_ID for s in ids_s]
+    directed = edge_type == "directed"
+
+    def rev(e):
+        return (e[1], e[0])
+
+    sibling = None
+    if not directed:
+        # getSiblingMap: in-sorted permutation, degenerate pairs rewired
+        sibling = sorted(range(n), key=lambda e: (rev(edges_s[e]), e))
+        e = 0
+        while e < n:
+            u, v = edges_s[e]
+            if u == v:
+                sibling[e] = e + 1
+                sibling[e + 1] = e
+                e += 2
+            else:
+                e += 1
+
+    out_map: dict = {}
+    in_map: dict = {}
+    for e, (u, v) in enumerate(edges_s):
+        out_map.setdefault(u, []).append(e)
+        in_map.setdefault(v, []).append(e)
+
+    def out_degree(v):
+        return len(out_map.get(v, ()))
+
+    def in_degree(v):
+        return len(in_map.get(v, ()))
+
+    def is_interior(v):
+        if directed:
+            return in_degree(v) == 1 and out_degree(v) == 1
+        return out_degree(v) == 2
+
+    def excess_degree(v):
+        return (out_degree(v) - in_degree(v)) if directed \
+            else out_degree(v) % 2
+
+    input_order = sorted(range(n), key=lambda e: (min_ids[e], e))
+    used = [False] * n
+    state = {"left": n // (1 if directed else 2)}
+    excess_used: dict = {}
+
+    def build_path(e):
+        chain = []
+        start = edges_s[e][0]
+        while True:
+            chain.append(e)
+            used[e] = True
+            if not directed:
+                used[sibling[e]] = True
+            state["left"] -= 1
+            v = edges_s[e][1]
+            if not is_interior(v) or v == start:
+                break
+            if directed:
+                e = out_map[v][0]
+            else:
+                e = next(e2 for e2 in out_map[v] if not used[e2])
+        return chain
+
+    def build_walk(v):
+        chain = []
+        while True:
+            best_edge = None
+            best_out_id = NO_INPUT_EDGE_ID + 1
+            for e in out_map.get(v, ()):
+                if used[e] or min_ids[e] >= best_out_id:
+                    continue
+                best_out_id = min_ids[e]
+                best_edge = e
+            if best_edge is None:
+                return chain
+            # For idempotency, stop early if best_edge might continue a
+            # different incoming edge.
+            excess = excess_degree(v) - excess_used.get(v, 0)
+            if (excess < 0) if directed else (excess % 2 == 1):
+                if any(not used[e] and min_ids[e] <= best_out_id
+                       for e in in_map.get(v, ())):
+                    return chain
+            chain.append(best_edge)
+            used[best_edge] = True
+            if not directed:
+                used[sibling[best_edge]] = True
+            state["left"] -= 1
+            v = edges_s[best_edge][1]
+
+    def maximize_walk(chain):
+        i = 0
+        while i <= len(chain):
+            v = edges_s[chain[i]][0] if i == 0 else edges_s[chain[i - 1]][1]
+            for e in out_map.get(v, ()):
+                if not used[e]:
+                    loop = build_walk(v)
+                    chain[i:i] = loop
+                    break
+            i += 1
+        return chain
+
+    def canonicalize_loop_order(loop):
+        if not loop:
+            return loop
+        pos = 0
+        saw_gap = False
+        for i in range(1, len(loop)):
+            cmp = min_ids[loop[i]] - min_ids[loop[pos]]
+            if cmp < 0:
+                saw_gap = True
+            elif cmp > 0 or not saw_gap:
+                pos = i
+                saw_gap = False
+        pos += 1
+        if pos == len(loop):
+            pos = 0
+        return loop[pos:] + loop[:pos]
+
+    polylines = []
+    if polyline_type == "path":
+        for e in input_order:
+            if not used[e] and not is_interior(edges_s[e][0]):
+                polylines.append(build_path(e))
+        for e in input_order:
+            if state["left"] <= 0:
+                break
+            if used[e]:
+                continue
+            polylines.append(canonicalize_loop_order(build_path(e)))
+    else:  # walk
+        for e in input_order:
+            if used[e]:
+                continue
+            v = edges_s[e][0]
+            excess = excess_degree(v)
+            if excess <= 0:
+                continue
+            excess -= excess_used.get(v, 0)
+            if (excess <= 0) if directed else (excess % 2 == 0):
+                continue
+            excess_used[v] = excess_used.get(v, 0) + 1
+            walk = build_walk(v)
+            polylines.append(walk)
+            end_v = edges_s[walk[-1]][1]
+            excess_used[end_v] = excess_used.get(end_v, 0) - 1
+        if state["left"] > 0:
+            for chain in polylines:
+                maximize_walk(chain)
+        for i, e in enumerate(input_order):
+            if state["left"] <= 0:
+                break
+            if used[e]:
+                continue
+            v = edges_s[e][0]
+            eid = min_ids[e]
+            excess = 0
+            for e2 in input_order[i:]:
+                if min_ids[e2] != eid:
+                    break
+                if used[e2]:
+                    continue
+                if edges_s[e2][0] == v:
+                    excess += 1
+                if edges_s[e2][1] == v:
+                    excess -= 1
+            if excess == 1 or edges_s[e][1] == v:
+                walk = build_walk(v)
+                maximize_walk(walk)
+                polylines.append(walk)
+    polylines.sort(key=lambda c: min_ids[c[0]])
+    return [[edges_s[e] for e in chain] for chain in polylines]
+
+
 def _simplifier_chain_walk(pts, tolerance_rad, avoid_pts):
     """Greedy maximal-edge walk over a chain using the ported
     PolylineSimplifier (the s2builder.d simplify pattern): every
