@@ -65,9 +65,34 @@ class IdentitySnapFunction:
     discrete = False
 
 
+_SNAP_DBL_EPS = 2.220446049250313e-16
+
+
 class IntLatLngSnapFunction:
     """Snap to (lat, lng) rounded at 10^-exponent degrees
     (snap_functions.d IntLatLngSnapFunction)."""
+
+    MIN_EXPONENT = 0
+    MAX_EXPONENT = 10
+
+    @staticmethod
+    def min_snap_radius_for_exponent(exponent):
+        """~(10^-exp / sqrt(2)) degrees plus the (9 sqrt2 + 1.5) eps
+        conversion error (snap_functions.d:440-458)."""
+        power = 10.0 ** exponent
+        return (math.radians(math.sqrt(0.5) / power)
+                + (9 * math.sqrt(2.0) + 1.5) * _SNAP_DBL_EPS)
+
+    @classmethod
+    def exponent_for_max_snap_radius(cls, snap_radius_rad):
+        """Inverse of min_snap_radius_for_exponent, clamped
+        (snap_functions.d:472-485)."""
+        r = snap_radius_rad - (9 * math.sqrt(2.0) + 1.5) * _SNAP_DBL_EPS
+        r = max(r, 1e-30)
+        exponent = math.log10(math.sqrt(0.5) / math.degrees(r))
+        return max(cls.MIN_EXPONENT,
+                   min(cls.MAX_EXPONENT,
+                       math.ceil(exponent - 2 * _SNAP_DBL_EPS)))
 
     def __init__(self, exponent):
         self.exponent = int(exponent)
@@ -103,9 +128,20 @@ class CellIdSnapFunction:
         self.min_edge_vertex_separation = 0.219 * self.snap_radius
 
     @staticmethod
-    def level_for_max_snap_radius(radius_rad):
+    def min_snap_radius_for_level(level):
+        """Upper bound on the snap movement at the level, including the
+        ~4 eps S2Point<->cell-center conversion error
+        (snap_functions.d:190-198)."""
         from .metrics import MAX_DIAG
-        return MAX_DIAG.get_level_for_max_value(2 * radius_rad)
+        return 0.5 * MAX_DIAG.get_value(level) + 4 * _SNAP_DBL_EPS
+
+    @staticmethod
+    def level_for_max_snap_radius(radius_rad):
+        """Inverse of min_snap_radius_for_level
+        (snap_functions.d:213-217)."""
+        from .metrics import MAX_DIAG
+        return MAX_DIAG.get_level_for_max_value(
+            2 * (radius_rad - 4 * _SNAP_DBL_EPS))
 
     def snap_point(self, p):
         p = np.asarray(p, dtype=np.float64)
