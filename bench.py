@@ -191,13 +191,18 @@ def main():
         # BASELINE.md.
         pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16")
         n_lo, n_hi = (int(v) for v in pair.split(","))
-        # Best-of-N per leg (symmetric), to damp co-tenant noise on the
-        # shared box; each leg is a fresh ray session in a subprocess.
+        # Best-of-N per leg with the legs INTERLEAVED (lo,hi,lo,hi,...):
+        # co-tenant noise on this box drifts over minutes, so adjacent
+        # same-leg repeats sample the same epoch while interleaving gives
+        # both legs the same noise distribution.  Each run is a fresh ray
+        # session in a subprocess.
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-        lo = min((run_subprocess(n_lo, scaling=True) for _ in range(reps)),
-                 key=lambda r: r["value"])
-        hi = min((run_subprocess(n_hi, scaling=True) for _ in range(reps)),
-                 key=lambda r: r["value"])
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            lo_runs.append(run_subprocess(n_lo, scaling=True))
+            hi_runs.append(run_subprocess(n_hi, scaling=True))
+        lo = min(lo_runs, key=lambda r: r["value"])
+        hi = min(hi_runs, key=lambda r: r["value"])
         eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
         print(json.dumps({
             "metric": f"scaling efficiency ({n_lo} -> {n_hi} CPUs, "
