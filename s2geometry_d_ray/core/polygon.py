@@ -41,6 +41,57 @@ class Polygon:
         return not self.loops and not self.is_full
 
     @classmethod
+    def init_nested(cls, loops):
+        """S2Polygon.initNested semantics (s2polygon.d): assign each
+        loop a depth equal to the number of loops properly containing
+        it (via containsNested — boundaries must not cross) and order
+        the loops in preorder of the nesting tree (parents before
+        children, subtrees contiguous)."""
+        loops = list(loops)
+        n = len(loops)
+        if n == 0:
+            p = cls.__new__(cls)
+            p.loops = []
+            p.is_full = False
+            p.bound = LatLngRect.empty()
+            return p
+        if n == 1:
+            loops[0].depth = 0
+            return cls(loops)
+        contains = [[False] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if i != j and loops[i].contains_nested(loops[j]):
+                    contains[i][j] = True
+        depth = [sum(contains[j][i] for j in range(n)) for i in range(n)]
+        parent = [None] * n
+        for i in range(n):
+            best = None
+            for j in range(n):
+                if contains[j][i] and (best is None
+                                       or depth[j] > depth[best]):
+                    best = j
+            parent[i] = best
+        children: dict = {}
+        roots = []
+        for i in range(n):
+            if parent[i] is None:
+                roots.append(i)
+            else:
+                children.setdefault(parent[i], []).append(i)
+        ordered = []
+
+        def visit(i):
+            loops[i].depth = depth[i]
+            ordered.append(loops[i])
+            for c in children.get(i, []):
+                visit(c)
+
+        for r in roots:
+            visit(r)
+        return cls(ordered)
+
+    @classmethod
     def from_rings_latlng(cls, rings):
         """rings: list of (lats_deg, lons_deg) arrays; ring 0 = shell,
         subsequent rings = holes (depth 1)."""
