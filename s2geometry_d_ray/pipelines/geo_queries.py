@@ -636,9 +636,45 @@ def geo_boolean_mixed(sf_dir):
         "n_union_line_edges", "n_union_poly_edges", "inter_len_rad"])
 
 
+def geo_nested_depths(sf_dir):
+    """Polygon.init_nested over per-nation loop arrangements: 2 + key%3
+    concentric squares around a nation-derived center plus one disjoint
+    square, fed to the nesting-tree builder in largest-first order.
+    Emits the loop count, the preorder depth sequence, and depth
+    aggregates — all pure functions of key%3 once the nesting tree is
+    correct (the SQL oracle replays them as CASE arithmetic)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..core.loop import Loop
+    from ..core.polygon import Polygon
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    rows = []
+    for key in nat["n_nationkey"].tolist():
+        la = (key * 37) % 100 - 50.0
+        lo = (key * 73) % 280 - 140.0
+        k = 2 + key % 3
+
+        def square(clat, clon, half):
+            lats = [clat - half, clat - half, clat + half, clat + half]
+            lons = [clon - half, clon + half, clon + half, clon - half]
+            return Loop.from_latlng_degrees(lats, lons)
+
+        loops = [square(la, lo, 4.0 - i) for i in range(k)]
+        loops.append(square(la + 20.0, lo + 20.0, 1.0))
+        poly = Polygon.init_nested(loops)
+        depths = [lp.depth for lp in poly.loops]
+        rows.append((key, len(depths), ",".join(str(d) for d in depths),
+                     sum(depths), max(depths)))
+    return pd.DataFrame(rows, columns=["n_nationkey", "n_loops",
+                                       "depth_seq", "sum_depth",
+                                       "max_depth"])
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_boolean_mixed": geo_boolean_mixed,
+    "geo_nested_depths": geo_nested_depths,
     "geo_bbox_filter": geo_bbox_filter,
     "geo_rect_join": geo_rect_join,
     "geo_grid_tile_count": geo_grid_tile_count,
@@ -758,6 +794,22 @@ SELECT n_nationkey,
         + (ax*by - ay*bx)*(ax*by - ay*bx)), ax*bx + ay*by + az*bz)
     ELSE 0.0 END, 12) AS inter_len_rad
 FROM keepx
+"""
+
+# Nested-depth query: with a correct nesting tree, every output column
+# is a pure function of key % 3 (k concentric squares -> depths 0..k-1
+# in preorder, then the disjoint square at depth 0).
+ORACLE["geo_nested_depths"] = r"""
+SELECT n_nationkey,
+  CAST(3 + n_nationkey % 3 AS BIGINT) AS n_loops,
+  CASE n_nationkey % 3
+    WHEN 0 THEN '0,1,0'
+    WHEN 1 THEN '0,1,2,0'
+    ELSE '0,1,2,3,0' END AS depth_seq,
+  CAST(CASE n_nationkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 6 END
+       AS BIGINT) AS sum_depth,
+  CAST(1 + n_nationkey % 3 AS BIGINT) AS max_depth
+FROM nation
 """
 
 # radius join: same chord-distance formula as geo_knn's oracle.
