@@ -671,10 +671,46 @@ def geo_nested_depths(sf_dir):
                                        "max_depth"])
 
 
+def geo_edge_distance(sf_dir):
+    """Point-to-geodesic-edge squared chord distances through the exact
+    edge_distances2 kernel (core/edge.py:18-48): per nation one edge
+    A=(la,lo)->B=(la+3,lo+4) and three probe points chosen to hit the
+    interior case, the vertex-A case, and the vertex-B case.  The SQL
+    oracle replays the whole chain — stable cross product
+    (b+a)x(b-a), planar-acuteness prefilter, wedge sign tests, and
+    XQ^2 + QR^2 — double for double."""
+    import pandas as pd
+    import ray.data as rd
+    from ..core import coords
+    from ..core.edge import edge_distances2
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+
+    def pt(lat, lon):
+        x, y, z = coords.latlng_to_xyz(float(lat), float(lon))
+        return np.array([float(x), float(y), float(z)])
+
+    rows = []
+    for key in nat["n_nationkey"].tolist():
+        la = (key * 37) % 100 - 50.0
+        lo = (key * 73) % 280 - 140.0
+        a = pt(la, lo)
+        b = pt(la + 3.0, lo + 4.0)
+        probes = [(0, pt(la + 2.0, lo + 2.0)),    # interior case
+                  (1, pt(la - 2.0, lo - 2.0)),    # vertex-A case
+                  (2, pt(la + 5.0, lo + 6.0))]    # vertex-B case
+        for pid, x in probes:
+            d2 = float(edge_distances2(x[None, :], a[None, :],
+                                       b[None, :])[0, 0])
+            rows.append((key, pid, round(d2, 12)))
+    return pd.DataFrame(rows, columns=["n_nationkey", "probe_id", "d2"])
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_boolean_mixed": geo_boolean_mixed,
     "geo_nested_depths": geo_nested_depths,
+    "geo_edge_distance": geo_edge_distance,
     "geo_bbox_filter": geo_bbox_filter,
     "geo_rect_join": geo_rect_join,
     "geo_grid_tile_count": geo_grid_tile_count,
@@ -810,6 +846,69 @@ SELECT n_nationkey,
        AS BIGINT) AS sum_depth,
   CAST(1 + n_nationkey % 3 AS BIGINT) AS max_depth
 FROM nation
+"""
+
+# Edge-distance oracle: the full updateMinDistance chain in SQL.
+# Component order of the cross products and the x^2+y^2+z^2 sum order
+# match numpy's exactly; the wedge tests and the interior/vertex pick
+# become CASE expressions.
+ORACLE["geo_edge_distance"] = r"""
+WITH base AS (
+  SELECT n_nationkey,
+    CAST((n_nationkey * 37) % 100 - 50.0 AS DOUBLE) AS la,
+    CAST((n_nationkey * 73) % 280 - 140.0 AS DOUBLE) AS lo
+  FROM nation
+), probes AS (
+  SELECT b.*, p.probe_id,
+    CASE p.probe_id WHEN 0 THEN la + 2.0 WHEN 1 THEN la - 2.0
+                    ELSE la + 5.0 END AS plat,
+    CASE p.probe_id WHEN 0 THEN lo + 2.0 WHEN 1 THEN lo - 2.0
+                    ELSE lo + 6.0 END AS plon
+  FROM base b, (SELECT 0 AS probe_id UNION ALL SELECT 1
+                UNION ALL SELECT 2) p
+), v AS (
+  SELECT n_nationkey, probe_id,
+    cos(radians(plat))*cos(radians(plon)) AS xx,
+    cos(radians(plat))*sin(radians(plon)) AS xy,
+    sin(radians(plat)) AS xz,
+    cos(radians(la))*cos(radians(lo)) AS ax,
+    cos(radians(la))*sin(radians(lo)) AS ay,
+    sin(radians(la)) AS az,
+    cos(radians(la+3.0))*cos(radians(lo+4.0)) AS bx,
+    cos(radians(la+3.0))*sin(radians(lo+4.0)) AS by,
+    sin(radians(la+3.0)) AS bz
+  FROM probes
+), d AS (
+  SELECT *,
+    (xx-ax)*(xx-ax) + (xy-ay)*(xy-ay) + (xz-az)*(xz-az) AS xa2,
+    (xx-bx)*(xx-bx) + (xy-by)*(xy-by) + (xz-bz)*(xz-bz) AS xb2,
+    (ax-bx)*(ax-bx) + (ay-by)*(ay-by) + (az-bz)*(az-bz) AS ab2,
+    (ay+by)*(bz-az) - (az+bz)*(by-ay) AS cx_,
+    (az+bz)*(bx-ax) - (ax+bx)*(bz-az) AS cy_,
+    (ax+bx)*(by-ay) - (ay+by)*(bx-ax) AS cz_
+  FROM v
+), e AS (
+  SELECT *,
+    least(xa2, xb2) AS vertex_d2,
+    greatest(xa2, xb2) < least(xa2, xb2) + ab2 AS maybe_interior,
+    cx_*cx_ + cy_*cy_ + cz_*cz_ AS c2,
+    xx*cx_ + xy*cy_ + xz*cz_ AS x_dot_c,
+    cy_*xz - cz_*xy AS cxx_,
+    cz_*xx - cx_*xz AS cxy_,
+    cx_*xy - cy_*xx AS cxz_
+  FROM d
+), f AS (
+  SELECT *,
+    ax*cxx_ + ay*cxy_ + az*cxz_ AS a_cx,
+    bx*cxx_ + by*cxy_ + bz*cxz_ AS b_cx,
+    1.0 - sqrt((cxx_*cxx_ + cxy_*cxy_ + cxz_*cxz_) / c2) AS qr
+  FROM e
+)
+SELECT n_nationkey, CAST(probe_id AS BIGINT) AS probe_id,
+  ROUND(CASE WHEN maybe_interior AND a_cx < 0 AND b_cx > 0
+    THEN least((x_dot_c * x_dot_c) / c2 + qr * qr, vertex_d2)
+    ELSE vertex_d2 END, 12) AS d2
+FROM f
 """
 
 # radius join: same chord-distance formula as geo_knn's oracle.
