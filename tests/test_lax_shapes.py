@@ -192,3 +192,35 @@ def test_shape_index_region_feeds_coverer():
     assert [int(c) for c in cov] == [int(c) for c in ref]
     inside = pts((10, 20))[0]
     assert region.contains_point(inside)
+
+
+def test_many_loop_polygon():
+    """100 loops of 0/1/2 vertices: chain starts, loop-vertex accessors
+    and edge wraparound all consistent (s2lax_polygon_shape_test.d:140)."""
+    from s2geometry_d_ray.core.loop import Loop
+    loops = []
+    for i in range(100):
+        x, y, z = coords.latlng_to_xyz(0.0, float(i))
+        center = np.array([float(x), float(y), float(z)])
+        k = i % 3
+        if k == 0:
+            loops.append(np.empty((0, 3)))
+        else:
+            ring = Loop.make_regular_xyz(center, np.radians(0.1),
+                                         max(3, k))
+            loops.append(np.asarray(ring.vertices)[:k])
+    shape = LaxPolygonShape([lp for lp in loops])
+    assert shape.num_loops() == len(loops)
+    assert shape.num_chains() == len(loops)
+    num_vertices = 0
+    for i, lp in enumerate(loops):
+        assert shape.num_loop_vertices(i) == len(lp)
+        assert shape.chain(i) == (num_vertices, len(lp))
+        for j in range(len(lp)):
+            assert np.array_equal(shape.loop_vertex(i, j), lp[j])
+            v0, v1 = shape.edge(num_vertices + j)
+            assert np.array_equal(v0, lp[j])
+            assert np.array_equal(v1, lp[(j + 1) % len(lp)])
+        num_vertices += len(lp)
+    assert shape.num_vertices() == num_vertices
+    assert shape.num_edges() == num_vertices
