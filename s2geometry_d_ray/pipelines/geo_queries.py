@@ -209,16 +209,58 @@ def geo_knn(sf_dir, k=5):
     return top[["query_id", "doc_id", "rank"]].reset_index(drop=True)
 
 
+def _sj_polygons(n=40):
+    """Deterministic CONVEX regular loops for the flagship join oracle:
+    5 hot-cap city polygons (skewed side — they catch the 30% clustered
+    pages) + 35 lattice-positioned polygons with radii 0.004-0.02 rad
+    (S2 levels 10-16 coverings, the north-star tiling band).  Convexity
+    makes the exact engine PIP SQL-checkable via the all-edge-hemisphere
+    determinant test (same argument as _pip_polygons)."""
+    from ..core.loop import Loop
+    from ..core.polygon import Polygon
+    from ..sources.pages import HOT_CAPS
+    out = []
+    for pid in range(n):
+        if pid < len(HOT_CAPS):
+            clat, clon = float(HOT_CAPS[pid][0]), float(HOT_CAPS[pid][1])
+            radius = 0.0035 + 0.0002 * pid
+        else:
+            clat = float((pid * 47) % 120) - 60.0 + 0.005
+            clon = float((pid * 97) % 344) - 172.0 + 0.005
+            radius = 0.004 + 0.004 * (pid % 5)
+        loop = Loop.make_regular(clat, clon, radius, _PIP_NVS[pid % 6])
+        out.append({"polygon_id": pid, "polygon": Polygon([loop])})
+    return out
+
+
 def geo_spatial_join(sf_dir):
-    """The flagship S2 spatial join on synthesized pages (rows-only check;
-    exact-PIP oracle lives in tests/test_spatial_join.py)."""
+    """The flagship S2 spatial join — REAL pages source (splitmix64
+    generator -> "%.6f" coordinate text -> regex parse), REAL machinery
+    (RegionCoverer coverings -> broadcast multi-level cell index ->
+    searchsorted candidates -> interior short-circuit -> shape-index
+    exact PIP, pipelines/spatial_join.py) — over deterministic convex
+    polygons.  ORACLE-CHECKED end to end: _spatial_join_sql() replays
+    the page generator bit-for-bit in DuckDB (splitmix64 via HUGEINT
+    mod-2^64 arithmetic, the uniform/hot-cap mixture, np.rint
+    half-to-even micro-degree formatting, and the strtod parse as
+    micro/1e6) and decides containment with the convex hemisphere
+    determinant over edge-normal literals.  Min |margin| over all
+    (point, polygon) pairs is 1.7e-7 at 50k pages — eleven orders above
+    the double noise floor (verified in tests/test_spatial_join.py)."""
     from ..sources.pages import pages_dataset
-    from ..sources.polygons import make_polygons
     from .spatial_join import spatial_join
     n_docs = _docs(sf_dir).count()
     pages = pages_dataset(max(2000, 10 * n_docs))
-    polys = make_polygons(30)
-    return spatial_join(pages, polys)
+    polys = _sj_polygons()
+    joined = spatial_join(pages, polys)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["contained"])
+        return pa.table({"url": batch["url"],
+                         "polygon_id": batch["polygon_id"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 _PIP_NVS = (8, 12, 16, 24, 32, 48)
@@ -242,18 +284,22 @@ def _pip_polygons(n=24):
     return out
 
 
-def _pip_edges_values():
+def _edges_values(polys):
     """(polygon_id, nx, ny, nz) VALUES literals: the edge-normal vectors
-    v_i x v_{i+1} of every _pip_polygons loop, full-precision repr (17
-    significant digits round-trips float64 exactly)."""
+    v_i x v_{i+1} of each (convex, single-loop) polygon, full-precision
+    repr (17 significant digits round-trips float64 exactly)."""
     rows = []
-    for rec in _pip_polygons():
+    for rec in polys:
         v = rec["polygon"].loops[0].vertices
         nrm = np.cross(v, np.roll(v, -1, axis=0))
         for k in range(len(v)):
             rows.append("(%d,%s,%s,%s)" % (rec["polygon_id"],
                         repr(nrm[k, 0]), repr(nrm[k, 1]), repr(nrm[k, 2])))
     return ",".join(rows)
+
+
+def _pip_edges_values():
+    return _edges_values(_pip_polygons())
 
 
 def geo_pip_join(sf_dir):
@@ -929,6 +975,142 @@ ORACLE["geo_radius_join"] = (
     "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) * "
     "(cos(qlat)*sin(qlon) - cos(lat)*sin(lon)) + "
     "(sin(qlat) - sin(lat)) * (sin(qlat) - sin(lat)) <= " + _LIMIT2)
+
+def _pages_points_cte(n_expr, seed=42):
+    """WITH-clause body replaying sources/pages.py bit-for-bit in DuckDB:
+    splitmix64 (HUGEINT mod-2^64 multiply split into 32-bit halves,
+    UBIGINT xor/shift), the 70/30 uniform-sphere / hot-cap mixture
+    (atan2+sqrt uniform lat — chosen over asin, which differs from
+    numpy's in the last ulp), np.rint half-to-even micro-degree
+    formatting of the "%.6f" coordinate text, and the parse-back as
+    micro/1e6 (a correctly-rounded division of exact operands equals
+    the strtod of the decimal string).  Yields `pagepts(url, plat,
+    plon)` — one row per well-formed page (kind > 5), matching
+    parse_latlon + drop_misses.  Every float literal is CAST AS DOUBLE:
+    bare literals parse as DECIMAL in DuckDB and break IEEE identity."""
+    from ..sources.pages import HOT_CAPS
+    M64 = "18446744073709551616"
+
+    def lit(x):
+        return f"CAST({repr(float(x))} AS DOUBLE)"
+
+    def mulmod(x, c):
+        return (f"CAST((((CAST({x} AS HUGEINT) % 4294967296) * {c}) "
+                f"% {M64} + (((CAST({x} AS HUGEINT) // 4294967296) * {c})"
+                f" % 4294967296) * 4294967296) % {M64} AS UBIGINT)")
+
+    def rint(x):
+        # np.rint: round half to EVEN (exact for |x| < 2^52).
+        return (f"(CASE WHEN {x} - floor({x}) > 0.5 THEN floor({x}) + 1.0 "
+                f"WHEN {x} - floor({x}) < 0.5 THEN floor({x}) "
+                f"WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN floor({x}) "
+                f"ELSE floor({x}) + 1.0 END)")
+
+    RAD2DEG = lit(180.0 / np.pi)
+    TWO_PI = lit(2 * np.pi)
+    M64F = f"CAST({M64} AS DOUBLE)"
+    caps = []
+    for i in range(len(HOT_CAPS)):
+        clat, clon, cr = (float(v) for v in HOT_CAPS[i])
+        denom = float(np.maximum(0.1, np.cos(np.deg2rad(np.float64(clat)))))
+        caps.append((lit(clat), lit(clon), lit(cr), lit(denom)))
+
+    def case5(j):
+        arms = " ".join(f"WHEN {k} THEN {caps[k][j]}" for k in range(5))
+        return f"(CASE cap {arms} END)"
+
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    hashes = [("h1", seed), ("h2", seed + 1), ("h3", seed + 2),
+              ("h4", seed + 3), ("h5", seed + 4)]
+    s1 = ",\n  ".join(
+        f"CAST((CAST(CAST(xor(rid, CAST({s} AS UBIGINT)) AS UBIGINT) "
+        f"AS HUGEINT) + 11400714819323198485) % {M64} AS UBIGINT) AS {t}a"
+        for t, s in hashes)
+    s2 = ",\n  ".join(f"{mulmod(f'xor({t}a, {t}a >> 30)', C1)} AS {t}b"
+                      for t, _ in hashes)
+    s3 = ",\n  ".join(f"{mulmod(f'xor({t}b, {t}b >> 27)', C2)} AS {t}c"
+                      for t, _ in hashes)
+    s4 = ",\n  ".join(f"xor({t}c, {t}c >> 31) AS {t}" for t, _ in hashes)
+    return f"""
+rids AS (SELECT CAST(range AS UBIGINT) AS rid FROM range({n_expr})),
+mx1 AS (SELECT rid, {s1} FROM rids),
+mx2 AS (SELECT rid, {s2} FROM mx1),
+mx3 AS (SELECT rid, {s3} FROM mx2),
+hsh AS (SELECT rid, {s4} FROM mx3),
+gen AS (
+ SELECT rid,
+   {lit(-180.0)} + {lit(360.0)} * (CAST(h1 AS DOUBLE) / {M64F}) AS u_lon,
+   {lit(-1.0)} + {lit(2.0)} * (CAST(h2 AS DOUBLE) / {M64F}) AS zz,
+   CAST(h1 % 5 AS INTEGER) AS cap,
+   CAST(h2 AS DOUBLE) / {M64F} AS q2,
+   {lit(0.0)} + {TWO_PI} * (CAST(h3 AS DOUBLE) / {M64F}) AS theta,
+   (h4 % 100) < 30 AS is_hot,
+   CAST(h5 % 100 AS INTEGER) AS kind
+ FROM hsh),
+mixed AS (
+ SELECT rid, kind,
+   CASE WHEN is_hot
+        THEN {case5(0)} + (({case5(2)} * sqrt(q2)) * {RAD2DEG}) * cos(theta)
+        ELSE atan2(zz, sqrt({lit(1.0)} - zz * zz)) * {RAD2DEG} END AS lat0,
+   CASE WHEN is_hot
+        THEN {case5(1)} + (({case5(2)} * sqrt(q2)) * {RAD2DEG})
+             * sin(theta) / {case5(3)}
+        ELSE u_lon END AS lon0
+ FROM gen),
+pclip AS (
+ SELECT rid, kind,
+   greatest({lit(-89.999)}, least({lit(89.999)}, lat0)) AS lat1,
+   ((lon0 + {lit(180.0)}) - {lit(360.0)}
+    * floor((lon0 + {lit(180.0)}) / {lit(360.0)})) - {lit(180.0)} AS lon1
+ FROM mixed),
+micro AS (
+ SELECT rid,
+   CAST({rint(f"(lat1 * {lit(1e6)})")} AS BIGINT) AS lat_u,
+   CAST({rint(f"(lon1 * {lit(1e6)})")} AS BIGINT) AS lon_u
+ FROM pclip WHERE kind > 5),
+pagepts AS (
+ SELECT 'https://host' || CAST(rid % 1000 AS VARCHAR) || '.example/'
+        || CAST(rid AS VARCHAR) AS url,
+   CAST(lat_u AS DOUBLE) / {lit(1e6)} AS plat,
+   CAST(lon_u AS DOUBLE) / {lit(1e6)} AS plon
+ FROM micro)"""
+
+
+def _spatial_join_sql():
+    """Flagship oracle: the replayed page points against the convex
+    _sj_polygons hemisphere test (edge normals as float64 literals).
+    The rid series 0..max(2000, 10*n_docs)-1 is built as a UNION of a
+    constant range with documents row numbers x 10 because DuckDB's
+    range() only takes constant arguments."""
+    rid_cte = """
+rids AS (
+  SELECT CAST(range AS UBIGINT) AS rid FROM range(2000)
+  UNION
+  SELECT CAST(10 * (d.rn - 1) + t.k AS UBIGINT)
+  FROM (SELECT row_number() OVER () AS rn FROM documents) d,
+       (SELECT range AS k FROM range(10)) t
+)"""
+    body = _pages_points_cte("__UNUSED__")
+    head, rest = body.split("),", 1)
+    assert "rids AS" in head
+    return f"""
+WITH {rid_cte},{rest},
+pxyz AS (
+ SELECT url,
+   cos(radians(plat)) * cos(radians(plon)) AS px,
+   cos(radians(plat)) * sin(radians(plon)) AS py,
+   sin(radians(plat)) AS pz
+ FROM pagepts),
+edges(polygon_id, nx, ny, nz) AS (VALUES {_edges_values(_sj_polygons())})
+SELECT p.url AS url, CAST(e.polygon_id AS BIGINT) AS polygon_id
+FROM pxyz p, edges e
+GROUP BY 1, 2
+HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
+"""
+
+
+ORACLE["geo_spatial_join"] = _spatial_join_sql()
 
 ORACLE["geo_snap_e6"] = (
     f"SELECT doc_id, CAST(ROUND(({GEO_LAT_EXPR}) * 1000000) AS BIGINT) "

@@ -50,9 +50,14 @@ def latlon_for_rows(row_ids, seed=42):
     h1 = _mix64(rid ^ np.uint64(seed))
     h2 = _mix64(rid ^ np.uint64(seed + 1))
     h3 = _mix64(rid ^ np.uint64(seed + 2))
-    # Uniform sphere: lon uniform, sin(lat) uniform.
+    # Uniform sphere: lon uniform, sin(lat) uniform.  asin is written as
+    # atan2(z, sqrt(1-z^2)) because numpy's arcsin and DuckDB's asin
+    # differ in the last ulp, while atan2/sqrt are bit-identical across
+    # both — this keeps the whole generator replayable in the SQL oracle
+    # (see pipelines/geo_queries._spatial_join_sql).
     u_lon = _unit(h1, -180.0, 180.0)
-    u_lat = np.rad2deg(np.arcsin(_unit(h2, -1.0, 1.0)))
+    z = _unit(h2, -1.0, 1.0)
+    u_lat = np.rad2deg(np.arctan2(z, np.sqrt(1.0 - z * z)))
     # Hot clusters: small offsets around a city center.
     k = (h1 % np.uint64(len(HOT_CAPS))).astype(np.int64)
     c = HOT_CAPS[k]

@@ -142,3 +142,58 @@ def test_pip_join_polygons_convex_ccw_with_margin():
             assert dots_v[k, keep].min() > 0, rec["polygon_id"]
         margins.append(np.abs(pts @ nrm.T).min())
     assert min(margins) > 1e-9, min(margins)
+
+
+def test_spatial_join_oracle_fixture_convex_with_margin():
+    """geo_spatial_join oracle safety: the _sj_polygons fixture is
+    convex/CCW, the engine's exact PIP agrees with the SQL hemisphere
+    determinant on every parsed page point, and the minimum margin is
+    far above float64 noise."""
+    import pyarrow.compute as pc
+
+    from s2geometry_d_ray.pipelines.geo_queries import _sj_polygons
+    from s2geometry_d_ray.stages.geocode import parse_latlon
+
+    t = pages_table(5000)
+    p = parse_latlon(t)
+    ok = pc.is_valid(p["lat"])
+    lat = pc.filter(p["lat"], ok).to_numpy(zero_copy_only=False)
+    lon = pc.filter(p["lon"], ok).to_numpy(zero_copy_only=False)
+    x, y, z = coords.latlng_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+    min_margin = np.inf
+    n_inside = 0
+    for rec in _sj_polygons():
+        v = rec["polygon"].loops[0].vertices
+        nrm = np.cross(v, np.roll(v, -1, axis=0))
+        dots_v = nrm @ v.T
+        nv = len(v)
+        for k in range(nv):
+            keep = np.ones(nv, dtype=bool)
+            keep[k] = keep[(k + 1) % nv] = False
+            assert dots_v[k, keep].min() > 0, rec["polygon_id"]
+        m = (pts @ nrm.T).min(axis=1)
+        inside_sql = m > 0
+        inside_eng = rec["polygon"].contains_points(pts)
+        assert (inside_sql == inside_eng).all(), rec["polygon_id"]
+        n_inside += int(inside_eng.sum())
+        min_margin = min(min_margin, float(np.abs(m).min()))
+    assert n_inside > 500          # the join is non-trivial
+    assert min_margin > 1e-9, min_margin
+
+
+def test_pages_lat_formula_matches_sql_replayable_form():
+    """The uniform-lat branch must stay on the atan2+sqrt form (numpy
+    arcsin and DuckDB asin differ in the last ulp) — guards the
+    geo_spatial_join oracle's bit-exactness."""
+    from s2geometry_d_ray.sources.pages import _mix64, _unit, latlon_for_rows
+
+    rid = np.arange(1000, dtype=np.uint64)
+    lat, _ = latlon_for_rows(rid, seed=42)
+    h2 = _mix64(rid ^ np.uint64(43))
+    h4 = _mix64(rid ^ np.uint64(45))
+    cold = (h4 % np.uint64(100)) >= 30
+    z = _unit(h2, -1.0, 1.0)
+    expect = np.rad2deg(np.arctan2(z, np.sqrt(1.0 - z * z)))
+    expect = np.clip(expect, -89.999, 89.999)
+    assert np.array_equal(lat[cold], expect[cold])
