@@ -420,55 +420,102 @@ def geo_polyline_ops(sf_dir):
                                        "mid_lat", "mid_lon"])
 
 
-def geo_boolean_union(sf_dir):
-    """Boolean classification: pages-derived points vs the UNION of two
-    overlapping polygons — classified against the CONSTRUCTED union
-    boundary polygon (core/polygon_ops.boolean_union, the S2Builder-lite
-    path), whose pointwise equivalence with the query form is the pytest
-    oracle (tests/test_polygon_ops.py).  Rows-only driver check."""
-    from ..core import coords
+def _union_fixtures(keys):
+    """Per-nation pairs of overlapping convex 48-gon discs (A at the
+    nation lattice point, B shifted +4 deg lon).  Radii 0.10-0.13 rad so
+    each union catches a meaningful slice of the doc-point grid."""
     from ..core.loop import Loop
     from ..core.polygon import Polygon
+    out = {}
+    for key in keys:
+        la = (key * 37) % 110 - 55.0
+        lo = (key * 73) % 300 - 150.0
+        ra = 0.10 + 0.01 * (key % 4)
+        a = Polygon([Loop.make_regular(la, lo, ra, 48)])
+        b = Polygon([Loop.make_regular(la, lo + 4.0, 0.12, 48)])
+        out[int(key)] = (a, b)
+    return out
+
+
+def _nation_keys(sf_dir):
+    import ray.data as rd
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    return sorted(int(k) for k in nat["n_nationkey"].tolist())
+
+
+def geo_boolean_union(sf_dir):
+    """Pointwise proof of the boolean-union CONSTRUCTION: per nation the
+    union boundary polygon is built by core/polygon_ops.boolean_union
+    (the S2Builder-lite path: exact edge intersections + ring assembly),
+    then every doc point is classified against the CONSTRUCTED polygon
+    with the exact crossing-parity PIP.  ORACLE-CHECKED: the SQL decides
+    `in_A OR in_B` via the convex hemisphere determinants of the two
+    input discs — agreement over every (point, nation) pair proves the
+    constructed boundary partitions the sphere exactly like the set
+    union of its inputs (min |edge margin| 1.3e-6, six orders above
+    noise; verified in tests/test_polygon_operations.py)."""
+    import ray
+
+    from ..core import coords
     from ..core.polygon_ops import boolean_union
-    a = Polygon([Loop.make_regular(10.0, 20.0, 5.0e-2, 64)])
-    b = Polygon([Loop.make_regular(10.0, 23.0, 5.0e-2, 64)])
-    u = boolean_union(a, b)
+    keys = _nation_keys(sf_dir)
+    fx = _union_fixtures(keys)
+    unions = {k: boolean_union(a, b) for k, (a, b) in fx.items()}
+    ref = ray.put(unions)
 
-    def classify(batch: pa.Table) -> pa.Table:
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        x, y, z = coords.latlng_to_xyz(lat, lon)
-        pts = np.stack([x, y, z], axis=1)
-        res = u.contains_points(pts)
-        keep = batch.filter(pa.array(res))
-        return pa.table({"doc_id": keep["doc_id"]})
+    class Classify:
+        def __init__(self):
+            self.unions = ray.get(ref)
 
-    return geo_points(sf_dir).map_batches(classify, batch_format="pyarrow",
-                                          zero_copy_batch=True)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            did = batch["doc_id"].to_numpy(zero_copy_only=False)
+            x, y, z = coords.latlng_to_xyz(lat, lon)
+            pts = np.stack([x, y, z], axis=1)
+            out_k, out_d = [], []
+            for k, u in self.unions.items():
+                ins = u.contains_points(pts)
+                hit = np.nonzero(ins)[0]
+                out_k.append(np.full(len(hit), k, dtype=np.int64))
+                out_d.append(did[hit])
+            return pa.table({
+                "n_nationkey": pa.array(np.concatenate(out_k), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            })
+
+    return geo_points(sf_dir).map_batches(
+        Classify, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2)
 
 
 def geo_union_boundary(sf_dir):
-    """The union polygon's constructed boundary itself: one row per
-    vertex of each assembled ring (ring index, vertex index, lat, lon
-    micro-degree-rounded for determinism).  Exercises the boundary
-    OUTPUT of the boolean machinery end-to-end (rows-only)."""
+    """The constructed union boundaries themselves: one row per ring
+    vertex per nation, as micro-degree integers.  ORACLE-CHECKED by
+    decision-chain replay: the SQL predicts the vertex multiset from the
+    input-disc vertex literals alone — A-vertices outside B (hemisphere
+    test), B-vertices outside A, plus normalize(cross(nA, nB)) for every
+    strictly-crossing edge pair — and rounds identically (micro-tie
+    distance >= 2.7e-5 micro-units over the 25 fixtures vs ~1e-7 formula
+    tolerance, so both sides round the same way)."""
     import pandas as pd
     from ..core import coords
-    from ..core.loop import Loop
-    from ..core.polygon import Polygon
     from ..core.polygon_ops import boolean_union
-    a = Polygon([Loop.make_regular(10.0, 20.0, 5.0e-2, 64)])
-    b = Polygon([Loop.make_regular(10.0, 23.0, 5.0e-2, 64)])
-    u = boolean_union(a, b)
+    keys = _nation_keys(sf_dir)
+    fx = _union_fixtures(keys)
     rows = []
-    for ri, lp in enumerate(u.loops):
-        lat, lon = coords.xyz_to_latlng(lp.vertices[:, 0],
-                                        lp.vertices[:, 1],
-                                        lp.vertices[:, 2])
-        for vi in range(len(lp.vertices)):
-            rows.append((ri, vi, round(float(lat[vi]), 6),
-                         round(float(lon[vi]), 6)))
-    return pd.DataFrame(rows, columns=["ring", "vertex", "lat", "lon"])
+    for k, (a, b) in fx.items():
+        u = boolean_union(a, b)
+        for lp in u.loops:
+            la, lo = coords.xyz_to_latlng(lp.vertices[:, 0],
+                                          lp.vertices[:, 1],
+                                          lp.vertices[:, 2])
+            lat_e6 = np.rint(np.asarray(la) * 1e6).astype(np.int64)
+            lon_e6 = np.rint(np.asarray(lo) * 1e6).astype(np.int64)
+            for vi in range(len(lat_e6)):
+                rows.append((k, int(lat_e6[vi]), int(lon_e6[vi])))
+    return pd.DataFrame(rows, columns=["n_nationkey", "lat_e6", "lon_e6"])
 
 
 def geo_snap_e6(sf_dir):
@@ -1111,6 +1158,127 @@ HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
 
 
 ORACLE["geo_spatial_join"] = _spatial_join_sql()
+
+
+def _rint_sql(x):
+    """np.rint (round half to even) as a CASE chain; exact for |x|<2^52."""
+    return (f"(CASE WHEN {x} - floor({x}) > 0.5 THEN floor({x}) + 1.0 "
+            f"WHEN {x} - floor({x}) < 0.5 THEN floor({x}) "
+            f"WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN floor({x}) "
+            f"ELSE floor({x}) + 1.0 END)")
+
+
+def _union_edges_values():
+    """(nkey, disc, nx, ny, nz) edge-normal literals for the per-nation
+    union fixture discs (disc 0 = A, 1 = B)."""
+    rows = []
+    for k, (a, b) in _union_fixtures(range(25)).items():
+        for disc, poly in ((0, a), (1, b)):
+            v = poly.loops[0].vertices
+            nrm = np.cross(v, np.roll(v, -1, axis=0))
+            for i in range(len(v)):
+                rows.append("(%d,%d,%s,%s,%s)" % (k, disc,
+                            repr(nrm[i, 0]), repr(nrm[i, 1]),
+                            repr(nrm[i, 2])))
+    return ",".join(rows)
+
+
+def _union_verts_values():
+    """(nkey, disc, vidx, vx, vy, vz) vertex literals for the fixture
+    discs — the raw INPUT geometry the boundary oracle reasons from."""
+    rows = []
+    for k, (a, b) in _union_fixtures(range(25)).items():
+        for disc, poly in ((0, a), (1, b)):
+            v = poly.loops[0].vertices
+            for i in range(len(v)):
+                # CAST AS DOUBLE: bare literals parse as DECIMAL and a
+                # DECIMAL*DECIMAL cross product overflows scale 38.
+                rows.append(
+                    "(%d,%d,%d,CAST(%s AS DOUBLE),CAST(%s AS DOUBLE),"
+                    "CAST(%s AS DOUBLE))" % (k, disc, i,
+                    repr(v[i, 0]), repr(v[i, 1]), repr(v[i, 2])))
+    return ",".join(rows)
+
+
+# Union classification: a point is in the constructed union boundary
+# polygon iff it is inside disc A or disc B — decided in SQL by the
+# convex hemisphere determinant per disc.
+ORACLE["geo_boolean_union"] = f"""
+WITH pts AS (
+  SELECT doc_id,
+    cos(radians(lat)) * cos(radians(lon)) AS px,
+    cos(radians(lat)) * sin(radians(lon)) AS py,
+    sin(radians(lat)) AS pz
+  FROM (SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon
+        FROM documents)
+), edges(nkey, disc, nx, ny, nz) AS (VALUES {_union_edges_values()}),
+hemi AS (
+  SELECT p.doc_id, e.nkey, e.disc,
+         min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0 AS ins
+  FROM pts p, edges e
+  JOIN nation n ON n.n_nationkey = e.nkey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(nkey AS BIGINT) AS n_nationkey, doc_id
+FROM hemi GROUP BY 1, 2 HAVING bool_or(ins)
+"""
+
+# Union boundary: predict the vertex multiset from the input discs —
+# kept original vertices (outside the other disc) plus one intersection
+# point per strictly-crossing edge pair, computed as the sign-adjusted
+# cross product of the two edge normals.  lat/lon via scale-invariant
+# atan2 forms, micro-rounded half-to-even exactly like the engine.
+ORACLE["geo_union_boundary"] = f"""
+WITH verts(nkey, disc, vidx, vx, vy, vz) AS (VALUES {_union_verts_values()}),
+edges AS (
+  SELECT a.nkey, a.disc, a.vidx,
+    a.vx AS ax, a.vy AS ay, a.vz AS az,
+    b.vx AS bx, b.vy AS by, b.vz AS bz,
+    a.vy * b.vz - a.vz * b.vy AS nx,
+    a.vz * b.vx - a.vx * b.vz AS ny,
+    a.vx * b.vy - a.vy * b.vx AS nz
+  FROM verts a
+  JOIN verts b ON b.nkey = a.nkey AND b.disc = a.disc
+              AND b.vidx = (a.vidx + 1) % 48
+  JOIN nation n ON n.n_nationkey = a.nkey
+),
+kept AS (
+  SELECT v.nkey, v.vx AS x, v.vy AS y, v.vz AS z
+  FROM verts v
+  JOIN edges e ON e.nkey = v.nkey AND e.disc = 1 - v.disc
+  GROUP BY v.nkey, v.disc, v.vidx, v.vx, v.vy, v.vz
+  HAVING NOT (min(e.nx * v.vx + e.ny * v.vy + e.nz * v.vz) > 0)
+),
+cross_pairs AS (
+  SELECT ea.nkey,
+    ea.ny * eb.nz - ea.nz * eb.ny AS cx,
+    ea.nz * eb.nx - ea.nx * eb.nz AS cy,
+    ea.nx * eb.ny - ea.ny * eb.nx AS cz,
+    ea.ax + ea.bx AS mx, ea.ay + ea.by AS my, ea.az + ea.bz AS mz
+  FROM edges ea
+  JOIN edges eb ON eb.nkey = ea.nkey AND ea.disc = 0 AND eb.disc = 1
+  WHERE (eb.nx * ea.ax + eb.ny * ea.ay + eb.nz * ea.az)
+      * (eb.nx * ea.bx + eb.ny * ea.by + eb.nz * ea.bz) < 0
+    AND (ea.nx * eb.ax + ea.ny * eb.ay + ea.nz * eb.az)
+      * (ea.nx * eb.bx + ea.ny * eb.by + ea.nz * eb.bz) < 0
+),
+crossings AS (
+  SELECT nkey,
+    CASE WHEN cx * mx + cy * my + cz * mz < 0 THEN -cx ELSE cx END AS x,
+    CASE WHEN cx * mx + cy * my + cz * mz < 0 THEN -cy ELSE cy END AS y,
+    CASE WHEN cx * mx + cy * my + cz * mz < 0 THEN -cz ELSE cz END AS z
+  FROM cross_pairs
+),
+allv AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM crossings
+)
+SELECT CAST(nkey AS BIGINT) AS n_nationkey,
+  CAST({_rint_sql("(degrees(atan2(z, sqrt(x*x + y*y))) * 1000000.0)")}
+       AS BIGINT) AS lat_e6,
+  CAST({_rint_sql("(degrees(atan2(y, x)) * 1000000.0)")}
+       AS BIGINT) AS lon_e6
+FROM allv
+"""
 
 ORACLE["geo_snap_e6"] = (
     f"SELECT doc_id, CAST(ROUND(({GEO_LAT_EXPR}) * 1000000) AS BIGINT) "

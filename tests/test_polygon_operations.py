@@ -318,3 +318,70 @@ def test_boolean_fuzz_identities():
         if not ok:
             bad.append(seed)
     assert not bad, f"identity violations at seeds {bad}"
+
+
+def test_union_oracle_fixture_margins_and_vertex_prediction():
+    """geo_boolean_union / geo_union_boundary oracle safety: for every
+    per-nation fixture the constructed union (a) classifies the doc
+    point grid exactly like `in_A OR in_B` with comfortable hemisphere
+    margins, and (b) its boundary vertex multiset equals the predicted
+    kept-vertices + edge-pair intersections, micro-rounded, with tie
+    distances far above the intersection-formula tolerance."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.core.polygon_ops import boolean_union
+    from s2geometry_d_ray.pipelines.geo_queries import _union_fixtures
+
+    did = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lat = ((did * 7919) % 18000) / 100.0 - 90.0
+    lon = ((did * 104729) % 36000) / 100.0 - 180.0
+    x, y, z = coords.latlng_to_xyz(lat, lon)
+    pts = np.stack([x, y, z], axis=1)
+
+    def micro_set(vs):
+        la, lo = coords.xyz_to_latlng(vs[:, 0], vs[:, 1], vs[:, 2])
+        return sorted(zip(
+            np.rint(np.asarray(la) * 1e6).astype(np.int64).tolist(),
+            np.rint(np.asarray(lo) * 1e6).astype(np.int64).tolist()))
+
+    min_margin = np.inf
+    min_tie = np.inf
+    for key, (a, b) in _union_fixtures(range(25)).items():
+        u = boolean_union(a, b)
+        in_u = u.contains_points(pts)
+        ins = []
+        for poly in (a, b):
+            v = poly.loops[0].vertices
+            nrm = np.cross(v, np.roll(v, -1, axis=0))
+            m = (pts @ nrm.T).min(axis=1)
+            ins.append(m > 0)
+            min_margin = min(min_margin, float(np.abs(m).min()))
+        assert ((ins[0] | ins[1]) == in_u).all(), key
+
+        va, vb = a.loops[0].vertices, b.loops[0].vertices
+        na = np.cross(va, np.roll(va, -1, axis=0))
+        nb = np.cross(vb, np.roll(vb, -1, axis=0))
+        kept = [va[(va @ nb.T).min(axis=1) <= 0],
+                vb[(vb @ na.T).min(axis=1) <= 0]]
+        va1 = np.roll(va, -1, axis=0)
+        vb1 = np.roll(vb, -1, axis=0)
+        crossings = []
+        for i in range(len(va)):
+            for j in range(len(vb)):
+                if ((nb[j] @ va[i]) * (nb[j] @ va1[i]) < 0
+                        and (na[i] @ vb[j]) * (na[i] @ vb1[j]) < 0):
+                    xpt = np.cross(na[i], nb[j])
+                    if xpt @ (va[i] + va1[i]) < 0:
+                        xpt = -xpt
+                    crossings.append(xpt / np.linalg.norm(xpt))
+        pred = np.concatenate(kept + [np.array(crossings)])
+        eng = np.concatenate([lp.vertices for lp in u.loops])
+        assert micro_set(pred) == micro_set(eng), key
+        la, lo = coords.xyz_to_latlng(eng[:, 0], eng[:, 1], eng[:, 2])
+        for deg in (np.asarray(la), np.asarray(lo)):
+            d = np.abs(np.mod(deg * 1e6, 1.0) - 0.5)
+            min_tie = min(min_tie, float(d.min()))
+    assert min_margin > 1e-9, min_margin
+    assert min_tie > 1e-6, min_tie
