@@ -345,8 +345,14 @@ def geo_pip_join(sf_dir):
 
 
 def geo_covering_tokens(sf_dir):
-    """Deterministic polygon coverings as tokens (rows-only; determinism
-    asserted by running the coverer twice in tests)."""
+    """Deterministic polygon coverings as tokens.  Rows-only by genuine
+    necessity: getCovering is a priority-queue refinement over candidate
+    cells (expand-the-worst-candidate until max_cells, then fuse
+    siblings) whose decision chain depends on dynamic heap order — not
+    expressible as SQL over the inputs, unlike the replayable chains of
+    geo_simplify / geo_union_boundary.  Exactness oracles live in
+    tests/: determinism across processes, covering-contains-region, and
+    canonicalization invariants."""
     from ..core.coverer import RegionCoverer
     from ..sources.polygons import make_polygons
     import pandas as pd
@@ -537,7 +543,12 @@ def geo_snap_e6(sf_dir):
 
 
 def geo_simplify(sf_dir):
-    """Polyline simplification counts per nation chain (rows-only)."""
+    """Polyline simplification counts per nation chain.  ORACLE-CHECKED:
+    _simplify_sql() replays the whole Douglas-Peucker recursion in
+    DuckDB — the bit-exact edge_distances2 chain for every (lo, k, hi)
+    triple plus a recursive CTE over the split intervals with an
+    anti-join argmax — so n_kept is derived independently from the
+    vertex literals."""
     import pandas as pd
     import ray.data as rd
     from ..core import coords
@@ -1158,6 +1169,111 @@ HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
 
 
 ORACLE["geo_spatial_join"] = _spatial_join_sql()
+
+
+def _simplify_verts_values():
+    """(nkey, vidx, vx, vy, vz) literals: the 64-vertex sinusoidal nation
+    chains geo_simplify feeds to the Douglas-Peucker simplifier."""
+    from ..core import coords
+    rows = []
+    for key in range(25):
+        lat0 = (key * 37) % 120 - 60.0
+        lon0 = (key * 73) % 300 - 150.0
+        t = np.linspace(0, 1, 64)
+        lat = lat0 + 2.0 * t + 0.05 * np.sin(8 * np.pi * t)
+        lon = lon0 + 2.0 * t
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        for i in range(64):
+            rows.append(
+                "(%d,%d,CAST(%s AS DOUBLE),CAST(%s AS DOUBLE),"
+                "CAST(%s AS DOUBLE))" % (key, i, repr(float(x[i])),
+                                         repr(float(y[i])),
+                                         repr(float(z[i]))))
+    return ",".join(rows)
+
+
+def _simplify_sql():
+    """geo_simplify oracle: full Douglas-Peucker replay in DuckDB.
+
+    d2all precomputes the exact edge_distances2 chain (the bit-exact
+    geo_edge_distance chain: stable (b+a)x(b-a) cross product,
+    planar-acuteness prefilter, wedge sign tests, XQ^2 + QR^2) for every
+    (lo < k < hi) triple; a recursive CTE then replays the splitting —
+    per interval the argmax-k vertex (NOT EXISTS anti-join; first index
+    wins ties like np.argmax) splits the interval iff its d2 exceeds
+    tol2.  Kept-vertex count = distinct interval endpoints.  Decisions
+    are deterministic because both sides compute identical doubles
+    (min |d2 - tol2| decision margin 1.1e-11 >> 0 on identical bits)."""
+    from ..core.edge import radians_to_chord2
+    tol2 = repr(float(radians_to_chord2(1e-4)))
+    return f"""
+WITH RECURSIVE verts(nkey, vidx, vx, vy, vz) AS
+  (VALUES {_simplify_verts_values()}),
+tri AS (
+  SELECT l.nkey, l.vidx AS lo, h.vidx AS hi, m.vidx AS k,
+    m.vx AS xx, m.vy AS xy, m.vz AS xz,
+    l.vx AS ax, l.vy AS ay, l.vz AS az,
+    h.vx AS bx, h.vy AS by, h.vz AS bz
+  FROM verts l
+  JOIN nation n ON n.n_nationkey = l.nkey
+  JOIN verts h ON h.nkey = l.nkey AND h.vidx > l.vidx + 1
+  JOIN verts m ON m.nkey = l.nkey AND m.vidx > l.vidx AND m.vidx < h.vidx
+),
+d AS (
+  SELECT nkey, lo, hi, k,
+    (xx-ax)*(xx-ax) + (xy-ay)*(xy-ay) + (xz-az)*(xz-az) AS xa2,
+    (xx-bx)*(xx-bx) + (xy-by)*(xy-by) + (xz-bz)*(xz-bz) AS xb2,
+    (ax-bx)*(ax-bx) + (ay-by)*(ay-by) + (az-bz)*(az-bz) AS ab2,
+    (ay+by)*(bz-az) - (az+bz)*(by-ay) AS cx_,
+    (az+bz)*(bx-ax) - (ax+bx)*(bz-az) AS cy_,
+    (ax+bx)*(by-ay) - (ay+by)*(bx-ax) AS cz_,
+    xx, xy, xz, ax, ay, az, bx, by, bz
+  FROM tri
+),
+e AS (
+  SELECT *, least(xa2, xb2) AS vertex_d2,
+    greatest(xa2, xb2) < least(xa2, xb2) + ab2 AS maybe_interior,
+    cx_*cx_ + cy_*cy_ + cz_*cz_ AS c2,
+    xx*cx_ + xy*cy_ + xz*cz_ AS x_dot_c,
+    cy_*xz - cz_*xy AS cxx_,
+    cz_*xx - cx_*xz AS cxy_,
+    cx_*xy - cy_*xx AS cxz_
+  FROM d
+),
+f AS (
+  SELECT nkey, lo, hi, k, vertex_d2, maybe_interior, c2, x_dot_c,
+    ax*cxx_ + ay*cxy_ + az*cxz_ AS a_cx,
+    bx*cxx_ + by*cxy_ + bz*cxz_ AS b_cx,
+    1.0 - sqrt((cxx_*cxx_ + cxy_*cxy_ + cxz_*cxz_) / c2) AS qr
+  FROM e
+),
+d2all AS (
+  SELECT nkey, lo, hi, k,
+    CASE WHEN maybe_interior AND a_cx < 0 AND b_cx > 0
+      THEN least((x_dot_c * x_dot_c) / c2 + qr * qr, vertex_d2)
+      ELSE vertex_d2 END AS d2
+  FROM f
+),
+splits(nkey, lo, hi) AS (
+  SELECT DISTINCT nkey, 0, 63 FROM tri
+  UNION ALL
+  SELECT s.nkey, u.newlo, u.newhi
+  FROM splits s
+  JOIN d2all d ON d.nkey = s.nkey AND d.lo = s.lo AND d.hi = s.hi
+  CROSS JOIN LATERAL (VALUES (s.lo, d.k), (d.k, s.hi)) AS u(newlo, newhi)
+  WHERE d.d2 > CAST({tol2} AS DOUBLE)
+    AND NOT EXISTS (SELECT 1 FROM d2all q
+        WHERE q.nkey = s.nkey AND q.lo = s.lo AND q.hi = s.hi
+          AND (q.d2 > d.d2 OR (q.d2 = d.d2 AND q.k < d.k)))
+)
+SELECT nkey AS n_nationkey, CAST(64 AS BIGINT) AS n_in,
+  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_kept
+FROM (SELECT nkey, lo AS v FROM splits UNION SELECT nkey, hi FROM splits)
+GROUP BY 1
+"""
+
+
+ORACLE["geo_simplify"] = _simplify_sql()
 
 
 def _rint_sql(x):
