@@ -367,33 +367,27 @@ def geo_covering_tokens(sf_dir):
 
 
 def s2_knn(sf_dir, k=5):
-    """The same kNN result as geo_knn but computed through the S2
-    PointIndex + ClosestPointQuery actor path (cell-pruned best-first
-    search) — shares geo_knn's SQL oracle, proving the indexed path
-    matches the brute/SQL definition exactly."""
-    import pandas as pd
+    """The same kNN result as geo_knn but computed through the
+    PARTITIONED S2 index path (SURVEY.md §3.4): the corpus stays a
+    Dataset, each block builds its own PointIndex inside the task and
+    answers the broadcast queries with the cell-pruned best-first
+    search, and a groupby(query_id) merge reduces the tiny
+    (queries x k x blocks) partial table — no driver materialization of
+    the index side.  Shares geo_knn's SQL oracle, proving the indexed,
+    partitioned path matches the brute/SQL definition exactly."""
     import ray.data as rd
 
-    import numpy as np
-    from ..stages.knn import knn_pipeline
-
-    docs = _docs(sf_dir).to_pandas()
-    did = docs["doc_id"].to_numpy()
-    lat = ((did * 7919) % 18000) / 100.0 - 90.0
-    lon = ((did * 104729) % 36000) / 100.0 - 180.0
+    from ..stages.knn import knn_partitioned
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"]).to_pandas()
     qk = np.sort(cust["c_custkey"].to_numpy())
     qk = qk[qk < 20]
-    qdf = pd.DataFrame({
-        "query_id": qk,
-        "lat": ((qk * 3571) % 18000) / 100.0 - 90.0,
-        "lon": ((qk * 6689) % 36000) / 100.0 - 180.0,
-    })
-    queries = rd.from_pandas(qdf)
-    out = knn_pipeline({"lat": lat, "lon": lon, "ids": did}, queries,
-                       k=k, concurrency=1).to_pandas()
+    corpus = geo_points(sf_dir).repartition(4)
+    out = knn_partitioned(
+        corpus, qk,
+        ((qk * 3571) % 18000) / 100.0 - 90.0,
+        ((qk * 6689) % 36000) / 100.0 - 180.0, k=k).to_pandas()
     out = out.rename(columns={"neighbor_id": "doc_id"})
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return out[["query_id", "doc_id", "rank"]]

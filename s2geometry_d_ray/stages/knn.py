@@ -54,6 +54,77 @@ class KnnActor:
         })
 
 
+class PartitionKnn:
+    """Partitioned-corpus kNN stage (SURVEY.md §3.4, the Common-Crawl
+    shape where the CORPUS is the index side): each task builds a
+    PointIndex over ONE corpus block and answers every broadcast query
+    against it with the cell-pruned best-first search, emitting
+    per-(query, partition) top-k partial rows.  No driver
+    materialization of the corpus anywhere."""
+
+    def __init__(self, queries_ref, k=5):
+        import ray
+        q = ray.get(queries_ref) if hasattr(queries_ref, "hex") \
+            else queries_ref
+        self.qid = np.asarray(q["query_id"], dtype=np.int64)
+        self.qxyz = np.asarray(q["xyz"], dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        index = PointIndex.from_latlng(lat, lon, ids)
+        q = ClosestPointQuery(index, max_points=self.k)
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(self.qid)):
+            d2, data = q.find_closest_points(tuple(self.qxyz[i]))
+            out_q.extend([int(self.qid[i])] * len(data))
+            out_n.extend(data.tolist())
+            out_d.extend(d2.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "distance2": pa.array(out_d, pa.float64()),
+        })
+
+
+def knn_partitioned(corpus_ds, query_ids, query_lat, query_lon, k=5,
+                    concurrency=None):
+    """corpus_ds: Dataset with (doc_id, lat, lon) — the BIG side, never
+    materialized on the driver.  Per-block PointIndex + partial top-k
+    inside tasks, then a groupby(query_id) merge over the tiny
+    (queries x k x blocks) partial table."""
+    import pandas as pd
+    import ray
+
+    from ..core import coords
+    x, y, z = coords.latlng_to_xyz(np.asarray(query_lat, np.float64),
+                                   np.asarray(query_lon, np.float64))
+    qref = ray.put({"query_id": np.asarray(query_ids, np.int64),
+                    "xyz": np.stack([x, y, z], axis=1)})
+    if concurrency is None:
+        try:
+            concurrency = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            concurrency = 2
+    parts = corpus_ds.map_batches(
+        PartitionKnn, fn_constructor_args=(qref, k),
+        batch_format="pyarrow", batch_size=None, num_cpus=1,
+        concurrency=concurrency)
+
+    # groupby(query_id) final merge: top-k with (d2, id) tiebreak.
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["distance2", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return parts.groupby("query_id").map_groups(topk,
+                                                batch_format="pandas")
+
+
 def knn_pipeline(points_table, queries_ds, k=5, concurrency=2):
     """points_table: dict with lat/lon/ids arrays (the index side, built
     once on the driver and broadcast); queries_ds: Dataset of

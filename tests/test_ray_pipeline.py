@@ -108,3 +108,42 @@ class TestTrainingDataScale:
                                columns=["doc_id", "text"])
         want = sorted(docs.groupby("text")["doc_id"].min().tolist())
         assert got == want
+
+
+def test_knn_partitioned_matches_brute(ray_session):
+    """Partitioned-corpus kNN (per-block PointIndex + groupby merge)
+    equals the brute-force definition, with the corpus split across
+    multiple blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from s2geometry_d_ray.core import coords
+    from s2geometry_d_ray.stages.knn import knn_partitioned
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lat = rng.uniform(-80, 80, n)
+    lon = rng.uniform(-179, 179, n)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_pandas(pd.DataFrame(
+        {"doc_id": ids, "lat": lat, "lon": lon})).repartition(8)
+    qid = np.arange(12, dtype=np.int64)
+    qlat = rng.uniform(-70, 70, 12)
+    qlon = rng.uniform(-170, 170, 12)
+
+    out = knn_partitioned(corpus, qid, qlat, qlon, k=5,
+                          concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # brute force
+    px, py, pz = coords.latlng_to_xyz(lat, lon)
+    qx, qy, qz = coords.latlng_to_xyz(qlat, qlon)
+    rows = []
+    for i in range(12):
+        d2 = (px - qx[i]) ** 2 + (py - qy[i]) ** 2 + (pz - qz[i]) ** 2
+        order = np.lexsort((ids, d2))[:5]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qid[i]), int(ids[j]), r))
+    exp = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    pd.testing.assert_frame_equal(
+        out[["query_id", "neighbor_id", "rank"]], exp)
