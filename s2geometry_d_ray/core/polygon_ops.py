@@ -294,6 +294,56 @@ def _shares_vertices(a0, b0):
     return any(snap.snap(p) in na for p in b0)
 
 
+def _compare_loops(a: Loop, b: Loop) -> int:
+    """Deterministic loop order for the invert() tiebreak
+    (s2polygon.d:2209-2230 compareLoops semantics: vertex count first,
+    then a canonical vertex walk — simplified here to lexicographic
+    vertex comparison, which is equally deterministic and only engaged
+    when two depth-0 loops have bit-identical turning angles)."""
+    if len(a.vertices) != len(b.vertices):
+        return len(a.vertices) - len(b.vertices)
+    av = a.vertices.ravel().tolist()
+    bv = b.vertices.ravel().tolist()
+    return (av > bv) - (av < bv)
+
+
+def initialize_to_complement(a: Polygon) -> Polygon:
+    """S2Polygon.initializeToComplement (s2polygon.d:1069-1135):
+    inverting the largest-area depth-0 loop (smallest turning angle)
+    inverts the polygon; its former descendants lose one depth, all
+    other loops gain one and become descendants of the inverted loop."""
+    if getattr(a, "is_full", False):
+        return Polygon.init_nested([])           # ~full = empty
+    if a.is_empty():
+        return Polygon.full()
+    loops = [lp.clone() for lp in a.loops]
+    best = 0
+    best_angle = None
+    for i in range(1, len(loops)):
+        if loops[i].depth == 0:
+            if best_angle is None:
+                best_angle = loops[best].get_turning_angle()
+            ang = loops[i].get_turning_angle()
+            if ang < best_angle or (ang == best_angle and
+                                    _compare_loops(loops[i],
+                                                   loops[best]) < 0):
+                best, best_angle = i, ang
+    last_best = best
+    while (last_best + 1 < len(loops)
+           and loops[last_best + 1].depth > loops[best].depth):
+        last_best += 1
+    loops[best].invert()
+    new_loops = [loops[best]]
+    for i in range(len(loops)):
+        if i < best or i > last_best:
+            loops[i].depth += 1
+            new_loops.append(loops[i])
+    for i in range(best + 1, last_best + 1):
+        loops[i].depth -= 1
+        new_loops.append(loops[i])
+    return Polygon(new_loops)
+
+
 def boolean_op(op: str, a: Polygon, b: Polygon):
     """op in {'union','intersection','difference'}; returns a Polygon or
     None (empty result).  Semantics follow s2polygon.d:766-905."""
@@ -308,8 +358,8 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
             return b if getattr(a, "is_full", False) else a
         if getattr(b, "is_full", False):      # difference: a \ full = 0
             return None
-        raise NotImplementedError(
-            "difference(full, x) requires initializeToComplement")
+        out = initialize_to_complement(b)     # full \ x = ~x
+        return None if out.is_empty() else out
     ra = _oriented_rings(a)
     rb = _oriented_rings(b)
     a0, a1 = _edges_of(ra)
