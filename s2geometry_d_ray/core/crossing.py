@@ -25,33 +25,61 @@ MAX_BRUTE_FORCE_EDGES = 27  # s2crossing_edge_query.d:50-52
 
 
 def _edge_candidate_ids(index, a, b):
-    """Edge ids of `index` whose bucket cells may intersect edge AB."""
+    """Edge ids of `index` whose bucket cells may intersect edge AB.
+
+    Every populated LEVEL of the multi-level bucket index is searched
+    (long-edge rule: edges live at the finest level that fits their
+    length, so a query must union across levels; the anchor-only search
+    missed long coarse edges — exposed by the perturbed-cube fixtures,
+    test/s2/s2crossing_edge_query_test.d:178-216)."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     mid = a + b
-    mid = mid / np.linalg.norm(mid)
-    half = float(np.arccos(np.clip(np.dot(a, b), -1, 1))) / 2.0
+    nm = np.linalg.norm(mid)
+    mid = a if nm == 0 else mid / nm
+    # Half-angle via the chord (2*arcsin form): precise at tiny angles
+    # where arccos(dot) loses ~sqrt(eps) absolutely.
+    half = float(np.arcsin(min(1.0, 0.5 * np.linalg.norm(a - b))))
     cap = Cap.from_center_angle(tuple(mid), half * 1.001 + 1e-12)
     cov = RegionCoverer(max_cells=8).get_covering(cap)
-    # Bucket cells intersecting any covering cell (range overlap on the
-    # sorted bucket array).
-    lo = np.searchsorted(index.cells, ci.range_min(cov))
-    hi = np.searchsorted(index.cells, ci.range_max(cov), side="right")
+    cov_min = ci.range_min(cov)
+    cov_max = ci.range_max(cov)
     out = []
-    for s, e in zip(lo.tolist(), hi.tolist()):
-        for k in range(s, e):
-            out.append(index.edge_ids[index.offsets[k]:index.offsets[k + 1]])
-    # A covering cell may also be CONTAINED in a coarser bucket cell.
-    pos = np.searchsorted(index.cells, cov)
-    pos = np.maximum(pos - 1, 0)
-    for p, c in zip(pos.tolist(), cov.tolist()):
-        if p < len(index.cells) and bool(ci.contains(
-                np.uint64(index.cells[p]), np.uint64(c))):
-            out.append(index.edge_ids[index.offsets[p]:
-                                      index.offsets[p + 1]])
+    for lvl in getattr(index, "levels", [index.level]):
+        cells = index.cells_by_level[lvl]
+        if not len(cells):
+            continue
+        offsets = index.offsets_by_level[lvl]
+        eids = index.edge_ids_by_level[lvl]
+        # Bucket cells intersecting any covering cell (range overlap on
+        # the sorted bucket array).
+        lo = np.searchsorted(cells, cov_min)
+        hi = np.searchsorted(cells, cov_max, side="right")
+        for s, e in zip(lo.tolist(), hi.tolist()):
+            for k in range(s, e):
+                out.append(eids[offsets[k]:offsets[k + 1]])
+        # A covering cell may also be CONTAINED in a coarser bucket cell.
+        # The ancestor's id (its range midpoint) can sort on EITHER side
+        # of the covering cell's id, so probe both neighbors of the
+        # insertion point.
+        pos = np.searchsorted(cells, cov)
+        for p0, c in zip(pos.tolist(), cov.tolist()):
+            for p in (p0 - 1, p0):
+                if 0 <= p < len(cells) and bool(ci.contains(
+                        np.uint64(cells[p]), np.uint64(c))):
+                    out.append(eids[offsets[p]:offsets[p + 1]])
     if not out:
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(out))
+    cand = np.unique(np.concatenate(out))
+    # Bounding-cap prune (safe: edges that cross or touch have
+    # min-distance 0, so their caps must intersect — triangle
+    # inequality).  Vectorized over candidates; keeps the candidate
+    # count within the reference's filtering-quality bound
+    # (s2crossing_edge_query_test.d:174-177).
+    chord = np.linalg.norm(index.edge_mid[cand] - mid, axis=1)
+    ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+    keep = ang <= half + index.edge_half_ang[cand] + 1e-9
+    return cand[keep]
 
 
 def crossing_edges(index, a, b, brute_force=None):
@@ -70,6 +98,32 @@ def crossing_edges(index, a, b, brute_force=None):
                          tuple(index.edge_b[e])) > 0:
             out.append(e)
     return np.array(out, dtype=np.int64)
+
+
+def get_candidates(index, a, b):
+    """Sorted candidate edge ids for query edge AB, falling back to all
+    edges below the brute-force cutover (s2crossing_edge_query.d:50-52
+    — but candidate-set tests always take the indexed path)."""
+    return _edge_candidate_ids(index, a, b)
+
+
+def get_crossings(index, a, b, crossing_type="ALL", brute_force=None):
+    """Edge ids crossed by AB: CrossingType.ALL includes shared-vertex
+    touches (crossing_sign >= 0), INTERIOR only proper crossings
+    (s2crossing_edge_query.d getCrossings semantics)."""
+    n = index.n_edges
+    if brute_force is None:
+        brute_force = n <= MAX_BRUTE_FORCE_EDGES
+    cand = np.arange(n) if brute_force else _edge_candidate_ids(index, a, b)
+    lo = 0 if crossing_type == "ALL" else 1
+    at = tuple(np.asarray(a, dtype=np.float64))
+    bt = tuple(np.asarray(b, dtype=np.float64))
+    out = []
+    for e in cand.tolist():
+        if crossing_sign(at, bt, tuple(index.edge_a[e]),
+                         tuple(index.edge_b[e])) >= lo:
+            out.append(e)
+    return np.array(sorted(out), dtype=np.int64)
 
 
 def crossing_edge_pairs(index_a, index_b):

@@ -50,7 +50,7 @@ class PolygonShapeIndex:
                  "offsets_by_level", "edge_ids_by_level", "cells",
                  "offsets", "edge_ids", "centers", "contains_center",
                  "edge_a", "edge_b", "edge_n", "n_edges",
-                 "_last_edges_evaluated")
+                 "edge_mid", "edge_half_ang", "_last_edges_evaluated")
 
     def __init__(self, polygon, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.polygon = polygon
@@ -64,104 +64,7 @@ class PolygonShapeIndex:
         self.edge_b = np.concatenate(b_list)
         self.edge_n = np.concatenate(n_list)
         self.n_edges = len(self.edge_a)
-
-        # Anchor level from edge DENSITY alone (long-edge rule: outlier
-        # edge lengths must not coarsen the whole index,
-        # mutable_s2shape_index.d:64-75).
-        chord = np.linalg.norm(self.edge_a - self.edge_b, axis=1)
-        ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * chord))
-        e_med = float(np.median(ang)) if self.n_edges else 1e-6
-        l_density = MIN_WIDTH.get_level_for_max_value(
-            max(1e-12, max_edges_per_cell * e_med))
-        self.level = int(np.clip(l_density, 4, 22))  # anchor level
-
-        # Per-edge level: finest level <= anchor whose min cell width
-        # exceeds the edge length (keeps the 3x3 superset guarantee).
-        edge_level = np.empty(self.n_edges, dtype=np.int64)
-        for i in range(self.n_edges):
-            le = MIN_WIDTH.get_level_for_min_value(float(ang[i]) * 1.001)
-            edge_level[i] = min(self.level, max(0, le))
-
-        from .edge import edge_distances2
-        la_leaf = ci.cellid_from_xyz(self.edge_a[:, 0], self.edge_a[:, 1],
-                                     self.edge_a[:, 2])
-        lb_leaf = ci.cellid_from_xyz(self.edge_b[:, 0], self.edge_b[:, 1],
-                                     self.edge_b[:, 2])
-
-        self.levels = sorted(set(edge_level.tolist()))
-        self.cells_by_level = {}
-        self.offsets_by_level = {}
-        self.edge_ids_by_level = {}
-        anchor_cells = None
-        anchor_eids = None
-        anchor_offsets = None
-        for lvl in self.levels:
-            sel = np.nonzero(edge_level == lvl)[0]
-            la = ci.parent(la_leaf[sel], lvl)
-            lb = ci.parent(lb_leaf[sel], lvl)
-            cand_cells: dict[int, set] = {}
-            ring_cache: dict[int, np.ndarray] = {}
-
-            def ring(cell, lvl=lvl, ring_cache=ring_cache):
-                r = ring_cache.get(int(cell))
-                if r is None:
-                    r = ci.all_neighbors(np.uint64(cell), lvl)
-                    ring_cache[int(cell)] = r
-                return r
-
-            for k, i in enumerate(sel.tolist()):
-                cells = {int(la[k]), int(lb[k])}
-                if lvl == 0:
-                    # an edge can span beyond the 3x3 guarantee at the
-                    # face level; bucket it on every face (6 cells)
-                    cells.update((f << 61) | (1 << 60) for f in range(6))
-                else:
-                    for c in (la[k], lb[k]):
-                        cells.update(int(v) for v in ring(c))
-                for c in cells:
-                    cand_cells.setdefault(c, set()).add(i)
-
-            cells_sorted = np.array(sorted(cand_cells), dtype=np.uint64)
-            offsets = [0]
-            edge_ids = []
-            for c in cells_sorted.tolist():
-                cell = Cell(c)
-                ids = np.array(sorted(cand_cells[c]), dtype=np.int64)
-                # prune: min distance from cell center to the edge must
-                # be within the cell's circumradius (cap radius) + slack
-                cap = cell.cap_bound()
-                d2 = edge_distances2(np.asarray(cell.center())[None, :],
-                                     self.edge_a[ids],
-                                     self.edge_b[ids])[0]
-                ids = ids[d2 <= cap.radius2 * 4.0 + 1e-12]
-                edge_ids.append(ids)
-                offsets.append(offsets[-1] + len(ids))
-            keepc = np.array([len(e) > 0 for e in edge_ids], dtype=bool)
-            cells_k = cells_sorted[keepc]
-            eids_k = np.concatenate(
-                [e for e, ok in zip(edge_ids, keepc) if ok]) \
-                if keepc.any() else np.empty(0, dtype=np.int64)
-            offs = [0]
-            for e, ok in zip(edge_ids, keepc):
-                if ok:
-                    offs.append(offs[-1] + len(e))
-            self.cells_by_level[lvl] = cells_k
-            self.offsets_by_level[lvl] = np.array(offs, dtype=np.int64)
-            self.edge_ids_by_level[lvl] = eids_k
-            if lvl == self.level:
-                anchor_cells = cells_k
-                anchor_eids = eids_k
-                anchor_offsets = self.offsets_by_level[lvl]
-
-        # Anchor-level views (kept under the historical names: the
-        # crossing/knn queries consume .cells/.offsets/.edge_ids).
-        if anchor_cells is None:
-            anchor_cells = np.empty(0, dtype=np.uint64)
-            anchor_eids = np.empty(0, dtype=np.int64)
-            anchor_offsets = np.array([0], dtype=np.int64)
-        self.cells = anchor_cells
-        self.edge_ids = anchor_eids
-        self.offsets = anchor_offsets
+        _build_edge_buckets(self, max_edges_per_cell)
         if len(self.cells):
             self.centers = np.stack([Cell(int(c)).center()
                                      for c in self.cells])
@@ -171,6 +74,7 @@ class PolygonShapeIndex:
         else:
             self.centers = np.empty((0, 3))
             self.contains_center = np.zeros(0, dtype=bool)
+
 
     def _bucket_union(self, anchor_cell):
         """Union of edge ids from every populated level's bucket of the
@@ -419,3 +323,138 @@ def _contains_point_model(self, p, model="semi_open"):
 
 
 PolygonShapeIndex.contains_point_model = _contains_point_model
+
+
+class EdgeVectorIndex:
+    """Bucket index over a raw edge collection — the
+    S2EdgeVectorShape-in-a-MutableS2ShapeIndex analogue used by the
+    crossing-edge query conformance fixtures
+    (test/s2/s2crossing_edge_query_test.d:96-105 checkAllCrossings).
+    Shares the exact multi-level long-edge-rule build with
+    PolygonShapeIndex; has no interior state (edge collections have no
+    interior)."""
+
+    __slots__ = ("level", "levels", "cells_by_level", "offsets_by_level",
+                 "edge_ids_by_level", "cells", "offsets", "edge_ids",
+                 "edge_a", "edge_b", "n_edges", "edge_mid", "edge_half_ang")
+
+    def __init__(self, edge_a, edge_b, max_edges_per_cell=MAX_EDGES_PER_CELL):
+        self.edge_a = np.atleast_2d(np.asarray(edge_a, dtype=np.float64))
+        self.edge_b = np.atleast_2d(np.asarray(edge_b, dtype=np.float64))
+        self.n_edges = len(self.edge_a)
+        _build_edge_buckets(self, max_edges_per_cell)
+
+
+def _build_edge_buckets(self, max_edges_per_cell):
+    """Shared bucket construction over self.edge_a/edge_b (see the
+    module docstring for the level rules).  Sets level, levels,
+    *_by_level maps, and the anchor-level views cells/offsets/edge_ids."""
+    # Anchor level from edge DENSITY alone (long-edge rule: outlier
+    # edge lengths must not coarsen the whole index,
+    # mutable_s2shape_index.d:64-75).
+    chord = np.linalg.norm(self.edge_a - self.edge_b, axis=1)
+    ang = 2 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+    e_med = float(np.median(ang)) if self.n_edges else 1e-6
+    l_density = MIN_WIDTH.get_level_for_max_value(
+        max(1e-12, max_edges_per_cell * e_med))
+    self.level = int(np.clip(l_density, 4, 22))  # anchor level
+
+    # Per-edge level: finest level <= anchor whose min cell width
+    # exceeds the edge length (keeps the 3x3 superset guarantee).
+    edge_level = np.empty(self.n_edges, dtype=np.int64)
+    for i in range(self.n_edges):
+        le = MIN_WIDTH.get_level_for_min_value(float(ang[i]) * 1.001)
+        edge_level[i] = min(self.level, max(0, le))
+
+    from .edge import edge_distances2
+    la_leaf = ci.cellid_from_xyz(self.edge_a[:, 0], self.edge_a[:, 1],
+                                 self.edge_a[:, 2])
+    lb_leaf = ci.cellid_from_xyz(self.edge_b[:, 0], self.edge_b[:, 1],
+                                 self.edge_b[:, 2])
+
+    self.levels = sorted(set(edge_level.tolist()))
+    self.cells_by_level = {}
+    self.offsets_by_level = {}
+    self.edge_ids_by_level = {}
+    anchor_cells = None
+    anchor_eids = None
+    anchor_offsets = None
+    for lvl in self.levels:
+        sel = np.nonzero(edge_level == lvl)[0]
+        la = ci.parent(la_leaf[sel], lvl)
+        lb = ci.parent(lb_leaf[sel], lvl)
+        cand_cells: dict[int, set] = {}
+        ring_cache: dict[int, np.ndarray] = {}
+
+        def ring(cell, lvl=lvl, ring_cache=ring_cache):
+            r = ring_cache.get(int(cell))
+            if r is None:
+                r = ci.all_neighbors(np.uint64(cell), lvl)
+                ring_cache[int(cell)] = r
+            return r
+
+        for k, i in enumerate(sel.tolist()):
+            cells = {int(la[k]), int(lb[k])}
+            if lvl == 0:
+                # an edge can span beyond the 3x3 guarantee at the
+                # face level; bucket it on every face (6 cells)
+                cells.update((f << 61) | (1 << 60) for f in range(6))
+            else:
+                for c in (la[k], lb[k]):
+                    cells.update(int(v) for v in ring(c))
+            for c in cells:
+                cand_cells.setdefault(c, set()).add(i)
+
+        cells_sorted = np.array(sorted(cand_cells), dtype=np.uint64)
+        offsets = [0]
+        edge_ids = []
+        for c in cells_sorted.tolist():
+            cell = Cell(c)
+            ids = np.array(sorted(cand_cells[c]), dtype=np.int64)
+            # prune: min distance from cell center to the edge must
+            # be within the cell's circumradius (cap radius) + slack
+            cap = cell.cap_bound()
+            d2 = edge_distances2(np.asarray(cell.center())[None, :],
+                                 self.edge_a[ids],
+                                 self.edge_b[ids])[0]
+            ids = ids[d2 <= cap.radius2 * 4.0 + 1e-12]
+            edge_ids.append(ids)
+            offsets.append(offsets[-1] + len(ids))
+        keepc = np.array([len(e) > 0 for e in edge_ids], dtype=bool)
+        cells_k = cells_sorted[keepc]
+        eids_k = np.concatenate(
+            [e for e, ok in zip(edge_ids, keepc) if ok]) \
+            if keepc.any() else np.empty(0, dtype=np.int64)
+        offs = [0]
+        for e, ok in zip(edge_ids, keepc):
+            if ok:
+                offs.append(offs[-1] + len(e))
+        self.cells_by_level[lvl] = cells_k
+        self.offsets_by_level[lvl] = np.array(offs, dtype=np.int64)
+        self.edge_ids_by_level[lvl] = eids_k
+        if lvl == self.level:
+            anchor_cells = cells_k
+            anchor_eids = eids_k
+            anchor_offsets = self.offsets_by_level[lvl]
+
+    # Anchor-level views (kept under the historical names: the
+    # crossing/knn queries consume .cells/.offsets/.edge_ids).
+    if anchor_cells is None:
+        anchor_cells = np.empty(0, dtype=np.uint64)
+        anchor_eids = np.empty(0, dtype=np.int64)
+        anchor_offsets = np.array([0], dtype=np.int64)
+    self.cells = anchor_cells
+    self.edge_ids = anchor_eids
+    self.offsets = anchor_offsets
+
+    # Per-edge bounding caps (midpoint + half-angle) for the candidate
+    # prune in crossing queries: two edges can cross or touch only if
+    # their caps intersect (triangle inequality on the sphere).
+    mid = self.edge_a + self.edge_b
+    nm = np.linalg.norm(mid, axis=1)
+    degen = nm < 1e-300  # antipodal endpoints: cap is a hemisphere
+    safe = np.where(degen[:, None], self.edge_a, mid)
+    self.edge_mid = safe / np.linalg.norm(safe, axis=1, keepdims=True)
+    half = np.arcsin(np.minimum(
+        1.0, 0.5 * np.linalg.norm(self.edge_a - self.edge_b, axis=1)))
+    self.edge_half_ang = np.where(degen, np.pi / 2, half)
