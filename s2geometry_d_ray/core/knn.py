@@ -201,6 +201,134 @@ class ClosestPointQuery:
         return self._select(cand_idx, target)
 
 
+def _find_closest_points_batch(self, targets_xyz):
+    """Vectorized multi-query kNN: the EXACT result set of calling
+    find_closest_points per target, computed with no per-query Python.
+
+    Returns (query_idx, distance2, data, rank) flat arrays, rows
+    ordered by (query_idx, distance, data) with rank starting at 1.
+
+    Pruning differs from the scalar path only in mechanism, not in the
+    guarantee: the k-th seed distance bounds the k-th order statistic
+    from above, and every point within that bound of the target lies in
+    the 3x3 same-level ring of the target's cell at the level whose
+    MIN_WIDTH exceeds the bound (crossing out of the ring requires
+    traversing a whole neighbor cell, each at least MIN_WIDTH wide).
+    Queries whose bound exceeds MIN_WIDTH at level 0 fall back to a
+    full scan of the index, as the scalar whole-sphere covering does."""
+    targets = np.atleast_2d(np.asarray(targets_xyz, dtype=np.float64))
+    m = len(targets)
+    n = len(self.index)
+    k = self.max_points
+    empty = (np.empty(0, dtype=np.int64), np.empty(0),
+             np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if n == 0 or m == 0:
+        return empty
+
+    if self.region is not None:
+        # Region masks are per-point Python; keep the scalar path.
+        qs, ds, das, rs = [], [], [], []
+        for qi in range(m):
+            d2, data = self.find_closest_points(tuple(targets[qi]))
+            qs.append(np.full(len(data), qi, dtype=np.int64))
+            ds.append(d2)
+            das.append(data)
+            rs.append(np.arange(1, len(data) + 1, dtype=np.int64))
+        return (np.concatenate(qs), np.concatenate(ds),
+                np.concatenate(das), np.concatenate(rs))
+
+    if self.use_brute_force or n <= MAX_BRUTE_FORCE_INDEX_SIZE:
+        cand_q = np.repeat(np.arange(m, dtype=np.int64), n)
+        cand_i = np.tile(np.arange(n, dtype=np.int64), m)
+    else:
+        leaf = ci.cellid_from_xyz(targets[:, 0], targets[:, 1],
+                                  targets[:, 2])
+        pos = np.searchsorted(self.index.cells, leaf)
+        width = min(4 * k, n)
+        lo = np.clip(pos - 2 * k, 0, n - width).astype(np.int64)
+        win = lo[:, None] + np.arange(width)[None, :]
+        sd2 = ((self.index.points[win] - targets[:, None, :]) ** 2) \
+            .sum(axis=2)
+        if width >= k:
+            ub2 = np.partition(sd2, k - 1, axis=1)[:, k - 1]
+        else:
+            ub2 = np.full(m, 4.0)
+        if self.max_distance2 is not None:
+            ub2 = np.minimum(ub2, float(self.max_distance2))
+        ub_rad = 2.0 * np.arcsin(0.5 * np.sqrt(np.clip(ub2, 0.0, 4.0)))
+        val = ub_rad * (1 + 1e-12) + 1e-15
+        # Vectorized MIN_WIDTH.get_level_for_min_value(val).
+        from .metrics import MIN_WIDTH
+        lvl = np.clip(np.frexp(MIN_WIDTH.deriv / val)[1] - 1,
+                      0, ci.MAX_LEVEL).astype(np.int64)
+        full_scan = val > MIN_WIDTH.deriv  # no level satisfies the bound
+
+        center = ci.parent(leaf, lvl.astype(np.uint64))
+        face, i, j = ci.to_face_ij(center)
+        i = i.astype(np.int64)
+        j = j.astype(np.int64)
+        size = np.int64(1) << (ci.MAX_LEVEL - lvl)
+        i &= -size
+        j &= -size
+        max_size = np.int64(1) << ci.MAX_LEVEL
+        rings = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ni = i + di * size
+                nj = j + dj * size
+                same = (ni >= 0) & (ni < max_size) & \
+                       (nj >= 0) & (nj < max_size)
+                leaf9 = ci._from_face_ij_same(face, ni, nj, same)
+                rings.append(ci.parent(leaf9, lvl.astype(np.uint64)))
+        ring = np.stack(rings, axis=1)                       # (m, 9)
+        starts = np.searchsorted(self.index.cells,
+                                 ci.range_min(ring)).astype(np.int64)
+        ends = np.searchsorted(self.index.cells, ci.range_max(ring),
+                               side="right").astype(np.int64)
+        # Seed window as a 10th range (it seeded the bound, keep it).
+        starts = np.concatenate([starts, lo[:, None]], axis=1)
+        ends = np.concatenate([ends, (lo + width)[:, None]], axis=1)
+        if full_scan.any():
+            starts[full_scan, :] = 0
+            ends[full_scan, :] = 0
+            ends[full_scan, 0] = n
+        lens = np.maximum(ends - starts, 0).ravel()
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        q_of_range = np.repeat(np.arange(m, dtype=np.int64),
+                               starts.shape[1])
+        cand_q = np.repeat(q_of_range, lens)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        cand_i = (np.arange(total, dtype=np.int64)
+                  - np.repeat(offs, lens)
+                  + np.repeat(starts.ravel(), lens))
+        key = np.unique(cand_q * np.int64(n) + cand_i)
+        cand_q = key // n
+        cand_i = key % n
+
+    d2 = ((self.index.points[cand_i] - targets[cand_q]) ** 2).sum(axis=1)
+    if self.max_distance2 is not None:
+        keep = d2 <= self.max_distance2
+        cand_q, cand_i, d2 = cand_q[keep], cand_i[keep], d2[keep]
+    if len(cand_q) == 0:
+        return empty
+    data = self.index.data[cand_i]
+    order = np.lexsort((data, d2, cand_q))
+    cand_q, d2, data = cand_q[order], d2[order], data[order]
+    new_grp = np.empty(len(cand_q), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = cand_q[1:] != cand_q[:-1]
+    grp_start = np.flatnonzero(new_grp)
+    gid = np.cumsum(new_grp) - 1
+    rank = np.arange(len(cand_q), dtype=np.int64) - grp_start[gid]
+    keep = rank < k
+    return cand_q[keep], d2[keep], data[keep], rank[keep] + 1
+
+
+ClosestPointQuery.find_closest_points_batch = _find_closest_points_batch
+
+
 # ---------------------------------------------------------------------------
 # Distance targets (src/s2/s2min_distance_targets.d): a query target that
 # is a point, an edge, or a cell.  Each provides the vectorized min

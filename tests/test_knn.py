@@ -299,3 +299,32 @@ class TestDistanceTargets:
         d2b, idb = q.find_closest_points_to_target(PointTarget(p))
         assert ida.tolist() == idb.tolist()
         assert np.allclose(d2a, d2b)
+
+
+def test_batch_equals_scalar_path():
+    """find_closest_points_batch returns exactly the scalar per-query
+    results (same pruning guarantee, vectorized mechanism) across index
+    sizes spanning the brute cutover, k > n, and max_distance."""
+    import numpy as np
+    from s2geometry_d_ray.core.knn import ClosestPointQuery, PointIndex
+    rng = np.random.default_rng(20260817)
+
+    def rand_pts(n):
+        v = rng.normal(size=(n, 3))
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    for n, m, k, maxd in [(1500, 120, 5, None), (1500, 120, 4, 0.02),
+                          (120, 40, 3, None), (200, 60, 300, None)]:
+        pts = rand_pts(n)
+        ids = rng.permutation(n).astype(np.int64)
+        idx = PointIndex(pts[:, 0], pts[:, 1], pts[:, 2], ids)
+        q = ClosestPointQuery(idx, max_points=k, max_distance_chord2=maxd)
+        tg = rand_pts(m)
+        bq, bd, bdata, br = q.find_closest_points_batch(tg)
+        for qi in range(m):
+            d2, data = q.find_closest_points(tuple(tg[qi]))
+            sel = bq == qi
+            assert np.array_equal(bdata[sel], data), (n, m, k, maxd, qi)
+            assert np.array_equal(bd[sel], d2), (n, m, k, maxd, qi)
+            assert np.array_equal(br[sel],
+                                  np.arange(1, sel.sum() + 1)), (qi,)
