@@ -1255,6 +1255,17 @@ class Builder:
             rings = _assemble(kept, holder)
         return _rings_to_polygon(rings)
 
+    def build_polygon_into_index(self, index_set):
+        """IndexedS2PolygonLayer (s2polygon_layer.d:291-318): build the
+        polygon through the ordinary layer pipeline and, when the
+        result is non-empty, register it with the mutable shape-index
+        set.  Returns (polygon, shape_id) — shape_id is None when the
+        polygon came out empty (the reference skips the index add)."""
+        polygon = self.build_polygon()
+        if polygon is None or not polygon.loops:
+            return polygon, None
+        return polygon, index_set.add(polygon)
+
     def build_polyline(self):
         """Assemble one polyline following input-edge order
         (s2polyline_layer.d), degenerate snapped edges dropped.  With

@@ -102,3 +102,32 @@ def test_len_counts_pending_and_applied():
     assert len(idx) == 2
     idx.remove(a)
     assert len(idx) == 1
+
+
+def test_indexed_polygon_layer():
+    """IndexedS2PolygonLayer (s2polygon_layer.d:291-318): the builder's
+    layer output lands in the mutable index set; empty results skip the
+    add."""
+    from s2geometry_d_ray.core.builder import Builder
+
+    idx = MutableShapeIndexSet()
+    b = Builder()
+    loop = Loop.make_regular(10.0, 20.0, 0.2, 16)
+    b.add_loop(loop.vertices)
+    poly, sid = b.build_polygon_into_index(idx)
+    assert sid is not None and len(idx) == 1
+    # The indexed shape answers containment exactly as the polygon.
+    pts = _points(500, seed=3)
+    got = idx.contains_points_any(pts)
+    want = np.array([len(s) > 0 for s in _brute({sid: poly}, pts)])
+    assert np.array_equal(got, want)
+
+    # An empty build (two opposite directed edges cancel as a sibling
+    # pair) must NOT be added.
+    b2 = Builder()
+    a = np.asarray(coords.latlng_to_xyz(0.0, 0.0), dtype=np.float64)
+    c = np.asarray(coords.latlng_to_xyz(0.0, 1.0), dtype=np.float64)
+    b2.add_edge(a, c)
+    b2.add_edge(c, a)
+    poly2, sid2 = b2.build_polygon_into_index(idx)
+    assert sid2 is None and len(idx) == 1
