@@ -174,20 +174,28 @@ def q5_nation_revenue(sf_dir):
     cust_ref = ray.put((cust_df["c_custkey"].to_numpy(np.int64),
                         cust_df["c_nationkey"].to_numpy(np.int64)))
 
-    def attach_nation(batch: pa.Table) -> pa.Table:
-        ckeys, cnat = ray.get(cust_ref)
-        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ckeys, ok)
-        pos = np.minimum(pos, len(ckeys) - 1)
-        hit = ckeys[pos] == ok
-        t = batch.filter(pa.array(hit))
-        return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "c_nationkey": pa.array(cnat[pos[hit]], pa.int64())})
+    class AttachNation:
+        """Stateful broadcast-lookup stage: the customer arrays are
+        fetched from plasma ONCE per actor in __init__ (zero-copy),
+        not per batch."""
+
+        def __init__(self, ref):
+            self.ckeys, self.cnat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ckeys, ok)
+            pos = np.minimum(pos, len(self.ckeys) - 1)
+            hit = self.ckeys[pos] == ok
+            t = batch.filter(pa.array(hit))
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "c_nationkey": pa.array(self.cnat[pos[hit]], pa.int64())})
 
     orders_nat = _read(sf_dir, "orders",
                        ["o_orderkey", "o_custkey"]).map_batches(
-        attach_nation, batch_format="pyarrow", batch_size=65536)
+        AttachNation, fn_constructor_args=(cust_ref,),
+        batch_format="pyarrow", batch_size=65536, concurrency=4)
 
     def li_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()

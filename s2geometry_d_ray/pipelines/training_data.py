@@ -409,6 +409,14 @@ def embedding_dups_exact(sf_dir, threshold=0.4):
 
     emb = _emb(sf_dir)
     df = emb.to_pandas()
+    # Oracle-ground-truth path ONLY: the driver materializes the whole
+    # embedding table to broadcast it.  Guard against someone pointing
+    # it at a real corpus — the scale path is embedding_dups (LSH).
+    if len(df) > 2_000_000:
+        raise ValueError(
+            f"embedding_dups_exact is the O(n^2) oracle baseline "
+            f"(driver-materialized broadcast side, n={len(df)}); use "
+            f"embedding_dups (hyperplane-LSH) at corpus scale")
     ids = df["vec_id"].to_numpy()
     E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)

@@ -39,19 +39,24 @@ class ImageDecode:
         return w, hh, 3
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        w = np.zeros(len(payloads), dtype=np.int32)
-        h = np.zeros(len(payloads), dtype=np.int32)
-        c = np.zeros(len(payloads), dtype=np.int32)
-        ok = np.zeros(len(payloads), dtype=bool)
-        for i, p in enumerate(payloads):
-            if p is None:
-                continue
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real decode path requires PIL; container ships none")
+        import pyarrow.compute as pc
+        col = batch["payload"]
+        n = len(col)
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        c = np.zeros(n, dtype=np.int32)
+        ok = pc.is_valid(col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if _HAVE_PIL and ok.any():  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path requires PIL; container ships none")
+        # Null handling and the gather stay in Arrow; only the valid
+        # payloads cross into Python (per-payload md5 is inherently
+        # per-row).
+        idxs = np.flatnonzero(ok)
+        for i, p in zip(idxs.tolist(),
+                        pc.drop_null(col).to_pylist()):
             w[i], h[i], c[i] = self._fake_decode(p)
-            ok[i] = True
         batch = batch.append_column("width", pa.array(w, pa.int32()))
         batch = batch.append_column("height", pa.array(h, pa.int32()))
         batch = batch.append_column("channels", pa.array(c, pa.int32()))
