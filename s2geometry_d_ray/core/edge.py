@@ -34,7 +34,13 @@ def edge_distances2(x, a, b):
     # ratio below while avoiding catastrophic cancellation for short edges.
     c = np.cross(b + a, b - a)                        # (n,3)
     c2 = _norm2(c)                                    # (n,)
-    x_dot_c = x @ c.T                                 # (m,n)
+    # Explicit multiply-sum, NOT x @ c.T: BLAS dgemm rounds the k=3
+    # reduction shape-dependently (FMA/blocking), so an index evaluating
+    # an edge SUBSET would disagree with the full matrix — and with the
+    # sequential x0*c0 + x1*c1 + x2*c2 chain the DuckDB oracles replay —
+    # in the last ulp.  The broadcast form reduces pairwise over 3
+    # elements = fixed (t0+t1)+t2 order, shape-independent.
+    x_dot_c = (x[:, None, :] * c[None, :, :]).sum(axis=2)   # (m,n)
     # Wedge test: a.(c x x) >= 0 or b.(c x x) <= 0 -> vertex case.
     cx = np.cross(c[None, :, :], x[:, None, :])       # (m,n,3)
     a_cx = (a[None, :, :] * cx).sum(axis=2)

@@ -194,13 +194,56 @@ class PolygonShapeIndex:
                 return True
         return False
 
-    def _closest_edge_one(self, p):
+    def closest_edge_batch(self, pts):
+        """Vectorized-candidate + warm-started best-first closest edge
+        for a batch of query points (the kNN batching pattern,
+        stages/knn.py): stage 1 evaluates each point's own bucket cells
+        at every index level — an achievable upper bound from a few
+        vectorized kernel calls — and stage 2 runs the exact best-first
+        search warm-started at that bound, so the heap usually only
+        proves optimality instead of discovering the answer.  Identical
+        results to per-point closest_edge; returns (d2, edge_id)."""
+        from .edge import edge_distances2
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        n = len(pts)
+        if self.n_edges <= self.MAX_BRUTE_FORCE_EDGES or not self.levels:
+            d2 = edge_distances2(pts, self.edge_a, self.edge_b)
+            ids = d2.argmin(axis=1)
+            return d2[np.arange(n), ids], ids.astype(np.int64)
+        best = np.full(n, np.inf)
+        best_id = np.full(n, -1, dtype=np.int64)
+        leaf = ci.cellid_from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+        for lvl in self.levels:
+            cells = self.cells_by_level[lvl]
+            if not len(cells):
+                continue
+            anc = ci.parent(leaf, lvl)
+            k = np.searchsorted(cells, anc)
+            kc = np.minimum(k, len(cells) - 1)
+            offs = self.offsets_by_level[lvl]
+            eids_l = self.edge_ids_by_level[lvl]
+            for i in np.nonzero(cells[kc] == anc)[0].tolist():
+                e = eids_l[offs[kc[i]]:offs[kc[i] + 1]]
+                if not len(e):
+                    continue
+                ed2 = edge_distances2(pts[i][None, :], self.edge_a[e],
+                                      self.edge_b[e])[0]
+                j = int(ed2.argmin())
+                if float(ed2[j]) < best[i]:
+                    best[i] = float(ed2[j])
+                    best_id[i] = int(e[j])
+        for i in range(n):
+            best[i], best_id[i] = self._closest_edge_one(
+                pts[i], best=float(best[i]), best_id=int(best_id[i]))
+        return best, best_id
+
+    def _closest_edge_one(self, p, best=np.inf, best_id=-1):
         """Best-first traversal for one query point; returns
-        (best_d2, best_edge_id).  Stats: self._last_edges_evaluated."""
+        (best_d2, best_edge_id).  An achievable (edge-backed) upper
+        bound may be passed in to warm-start the pruning.  Stats:
+        self._last_edges_evaluated."""
         import heapq
         from .edge import edge_distances2
-        best = np.inf
-        best_id = -1
         evaluated = 0
         heap = []
         for f in range(6):
@@ -336,13 +379,27 @@ class EdgeVectorIndex:
 
     __slots__ = ("level", "levels", "cells_by_level", "offsets_by_level",
                  "edge_ids_by_level", "cells", "offsets", "edge_ids",
-                 "edge_a", "edge_b", "n_edges", "edge_mid", "edge_half_ang")
+                 "edge_a", "edge_b", "n_edges", "edge_mid", "edge_half_ang",
+                 "_last_edges_evaluated")
 
     def __init__(self, edge_a, edge_b, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.edge_a = np.atleast_2d(np.asarray(edge_a, dtype=np.float64))
         self.edge_b = np.atleast_2d(np.asarray(edge_b, dtype=np.float64))
         self.n_edges = len(self.edge_a)
         _build_edge_buckets(self, max_edges_per_cell)
+
+
+# Closest-edge search is shared verbatim with the polygon index: the
+# best-first traversal reads only the bucket arrays + edge arrays, which
+# both classes build through _build_edge_buckets.
+EdgeVectorIndex.MAX_BRUTE_FORCE_EDGES = PolygonShapeIndex.MAX_BRUTE_FORCE_EDGES
+EdgeVectorIndex.closest_edge = PolygonShapeIndex.closest_edge
+EdgeVectorIndex.closest_edge_batch = PolygonShapeIndex.closest_edge_batch
+EdgeVectorIndex.boundary_distance2 = PolygonShapeIndex.boundary_distance2
+EdgeVectorIndex.boundary_distance2_brute = \
+    PolygonShapeIndex.boundary_distance2_brute
+EdgeVectorIndex._closest_edge_one = PolygonShapeIndex._closest_edge_one
+EdgeVectorIndex._subtree_has_cells = PolygonShapeIndex._subtree_has_cells
 
 
 def _build_edge_buckets(self, max_edges_per_cell):

@@ -157,6 +157,73 @@ def geo_parent_tokens(sf_dir):
                                           zero_copy_batch=True)
 
 
+def geo_cell_union_ops(sf_dir):
+    """S2CellUnion set algebra (normalize / unite / intersect /
+    difference, s2cell_union.d:743-874) over dataset-derived unions:
+    each document contributes its level-2 ancestor cell ("atom") to
+    group doc_id % 4; for each pair (0,1), (2,3) the engine computes
+    union / intersection / difference of the two NORMALIZED unions and
+    emits (pair_id, op, token, level) per output cell.
+
+    Ray shape: the atom extraction + dedup is distributed (vectorized
+    parent arithmetic per batch, partial per-batch distinct, then a
+    groupby distinct on the tiny (group, cell) table); the set algebra
+    itself runs on the normalized unions — a few hundred cells, the
+    small side by construction.
+
+    ORACLE-CHECKED: cell unions built from same-level atoms are in
+    bijection with their atom SETS, and the normalized form is the
+    canonical bottom-up sibling fusion of that set.  The SQL therefore
+    replays union/intersect/difference as set algebra on the atom sets
+    (UNION / INTERSECT / EXCEPT) and re-derives the canonical form with
+    pure HUGEINT ancestor arithmetic: a level-l cell is output iff all
+    4^(2-l) of its atoms are present and its parent is not full.  A
+    hash match proves the engine's sweep/recursion algorithms produce
+    exactly the reference's canonical normalized output."""
+    import pandas as pd
+    from ..core import cellunion as cu
+
+    ATOM_LEVEL = 2
+
+    def prep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lat = ((did * 7919) % 18000) / 100.0 - 90.0
+        lon = ((did * 104729) % 36000) / 100.0 - 180.0
+        leaf = ci.cellid_from_latlng(lat, lon)
+        cell = ci.parent(leaf, ATOM_LEVEL).view(np.int64)
+        g = (did % 4).astype(np.int64)
+        order = np.lexsort((cell, g))
+        gs, cs = g[order], cell[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+        return pa.table({"g": pa.array(gs[keep], pa.int64()),
+                         "cell": pa.array(cs[keep], pa.int64())})
+
+    distinct = (geo_points(sf_dir)
+                .map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["g", "cell"]).count()
+                .to_pandas())
+    rows = []
+    by_g = {int(g): grp["cell"].to_numpy().view(np.uint64)
+            for g, grp in distinct.groupby("g")}
+    for p in (0, 1):
+        a = cu.normalize(by_g.get(2 * p, np.array([], dtype=np.uint64)))
+        b = cu.normalize(by_g.get(2 * p + 1,
+                                  np.array([], dtype=np.uint64)))
+        for op, cells in (("union", cu.union(a, b)),
+                          ("intersect", cu.intersect(a, b)),
+                          ("difference", cu.difference(a, b))):
+            if not len(cells):
+                continue
+            toks = ci.to_token(cells)
+            lvls = ci.level(cells)
+            for t, lv in zip(toks.tolist(), lvls.tolist()):
+                rows.append((p, op, str(t), int(lv)))
+    return pd.DataFrame(rows, columns=["pair_id", "op", "token",
+                                       "level"])
+
+
 def geo_knn(sf_dir, k=5):
     """Exact kNN: for 20 query points (derived from customer keys < 20),
     the k nearest document points by squared chord distance; the identical
@@ -804,11 +871,101 @@ def geo_edge_distance(sf_dir):
     return pd.DataFrame(rows, columns=["n_nationkey", "probe_id", "d2"])
 
 
+def _nation_chains(keys):
+    """Deterministic 8-vertex zig-zag chain per nation key (7 edges):
+    vlat_j = base_lat + 0.55*j + (1.5 if j odd), vlon_j = base_lon +
+    1.1*j — every float op replayed verbatim in the SQL oracles.
+    Returns (A, B, nation, edge_j) parallel edge arrays."""
+    from ..core import coords
+    keys = np.asarray(keys, dtype=np.int64)
+    j = np.arange(8, dtype=np.float64)
+    la = ((keys * 37) % 100 - 50.0)[:, None]
+    lo = ((keys * 73) % 280 - 140.0)[:, None]
+    vlat = la + 0.55 * j[None, :] + np.where(j[None, :] % 2 == 1,
+                                             1.5, 0.0)
+    vlon = lo + 1.1 * j[None, :]
+    x, y, z = coords.latlng_to_xyz(vlat.ravel(), vlon.ravel())
+    v = np.stack([x, y, z], axis=1).reshape(len(keys), 8, 3)
+    nation = np.repeat(keys, 7)
+    edge_j = np.tile(np.arange(7, dtype=np.int64), len(keys))
+    return (v[:, :-1, :].reshape(-1, 3), v[:, 1:, :].reshape(-1, 3),
+            nation, edge_j)
+
+
+def geo_closest_edge(sf_dir):
+    """S2ClosestEdgeQuery at dataset scale: squared chord distance from
+    every document point to the nearest edge of a 175-edge zig-zag
+    polyline collection (25 nation chains x 7 edges — above the
+    brute-force cutoff, so every probe runs the INDEXED best-first
+    search over the EdgeVectorIndex bucket tree,
+    s2closest_edge_query_base.d:380-750 semantics via
+    core/shapeindex.py closest_edge_batch).
+
+    Ray shape: edges broadcast once via ray.put; each actor builds its
+    index in __init__; batches answered with the vectorized
+    candidate + warm-started traversal (stages/closest_edge.py).
+
+    ORACLE-CHECKED: the SQL replays the full edge_distances2 chain
+    (stable (b+a)x(b-a) cross product, acuteness prefilter, wedge
+    signs, XQ^2 + QR^2) per (doc, edge) and takes MIN over edges —
+    brute force in SQL vs best-first pruning in the engine, so the
+    hash match proves the index prunes nothing it shouldn't.  Only d2
+    is emitted (not the argmin edge id): chain edges share vertices,
+    so vertex-case probes produce EXACT float ties between adjacent
+    edges and any id output would be tie-order-dependent."""
+    from ..stages.closest_edge import (ClosestEdgeDistance,
+                                       broadcast_edges)
+    import ray.data as rd
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
+    ref = broadcast_edges(A, B)
+    return geo_points(sf_dir).map_batches(
+        ClosestEdgeDistance, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+def geo_crossing_pairs(sf_dir):
+    """S2CrossingEdgeQuery as a join: every (customer segment, chain
+    edge) pair that PROPERLY crosses (CrossingType INTERIOR,
+    s2crossing_edge_query.d:243-263; exact predicate chain
+    s2edge_crosser.d:197-325).  The chain side is the same 175-edge
+    nation fixture as geo_closest_edge; the query side is one segment
+    per customer (broadcast index, Dataset stream of queries —
+    stages/crossing_join.py).
+
+    ORACLE-CHECKED: proper crossing is pure sign algebra — with
+    p=(AxB).C, q=(AxB).D, r=(CxD).B, t=(CxD).A the reference condition
+    acb==bda==cbd==dac reduces to p*q < 0 AND r*t < 0 AND q*t > 0 —
+    replayed per pair in SQL with float determinants.  The engine runs
+    the exact triage->expensive chain; fixtures are verified to sit
+    far from every sign boundary (min |det| >= 4.4e-9 over all 2.6M
+    (segment, edge) pairs at sf0.1 — about 10^6 x the ~1e-15 float
+    triple-product error bound), so float and exact signs provably
+    agree."""
+    import ray.data as rd
+    from ..stages.closest_edge import broadcast
+    from ..stages.crossing_join import CrossingPairs
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    A, B, nation, edge_j = _nation_chains(nat["n_nationkey"].to_numpy())
+    ref = broadcast({"a": A, "b": B, "nation": nation,
+                     "edge_j": edge_j})
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    return cust.map_batches(
+        CrossingPairs, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
 QUERIES = {
     "geo_points": geo_points,
     "geo_boolean_mixed": geo_boolean_mixed,
     "geo_nested_depths": geo_nested_depths,
     "geo_edge_distance": geo_edge_distance,
+    "geo_closest_edge": geo_closest_edge,
+    "geo_crossing_pairs": geo_crossing_pairs,
+    "geo_cell_union_ops": geo_cell_union_ops,
     "geo_bbox_filter": geo_bbox_filter,
     "geo_rect_join": geo_rect_join,
     "geo_grid_tile_count": geo_grid_tile_count,
@@ -1007,6 +1164,134 @@ SELECT n_nationkey, CAST(probe_id AS BIGINT) AS probe_id,
     THEN least((x_dot_c * x_dot_c) / c2 + qr * qr, vertex_d2)
     ELSE vertex_d2 END, 12) AS d2
 FROM f
+"""
+
+# closest edge: brute-force MIN in SQL over the same bit-exact
+# edge_distances2 chain as geo_edge_distance, vs best-first pruning in
+# the engine.  Every non-integer literal is CAST AS DOUBLE (bare
+# literals parse as DECIMAL and break IEEE identity).
+ORACLE["geo_closest_edge"] = f"""
+WITH verts AS (
+  SELECT n_nationkey, j,
+    CAST((n_nationkey * 37) % 100 - 50.0 AS DOUBLE)
+      + CAST(0.55 AS DOUBLE) * j
+      + CASE WHEN j % 2 = 1 THEN CAST(1.5 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS vlat,
+    CAST((n_nationkey * 73) % 280 - 140.0 AS DOUBLE)
+      + CAST(1.1 AS DOUBLE) * j AS vlon
+  FROM nation, (SELECT CAST(range AS BIGINT) AS j FROM range(8)) t
+), vxyz AS (
+  SELECT n_nationkey, j,
+    cos(radians(vlat))*cos(radians(vlon)) AS vx,
+    cos(radians(vlat))*sin(radians(vlon)) AS vy,
+    sin(radians(vlat)) AS vz
+  FROM verts
+), edges AS (
+  SELECT a.n_nationkey, a.j AS eid,
+    a.vx AS ax, a.vy AS ay, a.vz AS az,
+    b.vx AS bx, b.vy AS by, b.vz AS bz
+  FROM vxyz a JOIN vxyz b
+    ON a.n_nationkey = b.n_nationkey AND b.j = a.j + 1
+), pts AS (
+  SELECT doc_id,
+    cos(radians(plat))*cos(radians(plon)) AS xx,
+    cos(radians(plat))*sin(radians(plon)) AS xy,
+    sin(radians(plat)) AS xz
+  FROM (SELECT doc_id, {GEO_LAT_EXPR} AS plat, {GEO_LON_EXPR} AS plon
+        FROM documents) raw
+), d AS (
+  SELECT doc_id,
+    (xx-ax)*(xx-ax) + (xy-ay)*(xy-ay) + (xz-az)*(xz-az) AS xa2,
+    (xx-bx)*(xx-bx) + (xy-by)*(xy-by) + (xz-bz)*(xz-bz) AS xb2,
+    (ax-bx)*(ax-bx) + (ay-by)*(ay-by) + (az-bz)*(az-bz) AS ab2,
+    (ay+by)*(bz-az) - (az+bz)*(by-ay) AS cx_,
+    (az+bz)*(bx-ax) - (ax+bx)*(bz-az) AS cy_,
+    (ax+bx)*(by-ay) - (ay+by)*(bx-ax) AS cz_,
+    xx, xy, xz, ax, ay, az, bx, by, bz
+  FROM pts, edges
+), e AS (
+  SELECT *,
+    least(xa2, xb2) AS vertex_d2,
+    greatest(xa2, xb2) < least(xa2, xb2) + ab2 AS maybe_interior,
+    cx_*cx_ + cy_*cy_ + cz_*cz_ AS c2,
+    xx*cx_ + xy*cy_ + xz*cz_ AS x_dot_c,
+    cy_*xz - cz_*xy AS cxx_,
+    cz_*xx - cx_*xz AS cxy_,
+    cx_*xy - cy_*xx AS cxz_
+  FROM d
+), f AS (
+  SELECT *,
+    ax*cxx_ + ay*cxy_ + az*cxz_ AS a_cx,
+    bx*cxx_ + by*cxy_ + bz*cxz_ AS b_cx,
+    CAST(1.0 AS DOUBLE)
+      - sqrt((cxx_*cxx_ + cxy_*cxy_ + cxz_*cxz_) / c2) AS qr
+  FROM e
+), per AS (
+  SELECT doc_id,
+    CASE WHEN maybe_interior AND a_cx < 0 AND b_cx > 0
+      THEN least((x_dot_c * x_dot_c) / c2 + qr * qr, vertex_d2)
+      ELSE vertex_d2 END AS d2e
+  FROM f
+)
+SELECT doc_id, ROUND(MIN(d2e), 12) AS d2 FROM per GROUP BY doc_id
+"""
+
+# crossing pairs: proper (interior) crossing as float sign algebra —
+# p=(AxB).C, q=(AxB).D, r=(CxD).B, t=(CxD).A; crossing_sign > 0 iff
+# p*q < 0 AND r*t < 0 AND q*t > 0 (validated against the exact
+# predicate on 20k random quadruples; fixture determinants sit >=4.4e-9
+# from zero so float signs match the engine's exact chain).  Output is
+# pure integers, so no float-identity discipline is needed here.
+ORACLE["geo_crossing_pairs"] = """
+WITH verts AS (
+  SELECT n_nationkey, j,
+    CAST((n_nationkey * 37) % 100 - 50.0 AS DOUBLE)
+      + CAST(0.55 AS DOUBLE) * j
+      + CASE WHEN j % 2 = 1 THEN CAST(1.5 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS vlat,
+    CAST((n_nationkey * 73) % 280 - 140.0 AS DOUBLE)
+      + CAST(1.1 AS DOUBLE) * j AS vlon
+  FROM nation, (SELECT CAST(range AS BIGINT) AS j FROM range(8)) t
+), vxyz AS (
+  SELECT n_nationkey, j,
+    cos(radians(vlat))*cos(radians(vlon)) AS vx,
+    cos(radians(vlat))*sin(radians(vlon)) AS vy,
+    sin(radians(vlat)) AS vz
+  FROM verts
+), edges AS (
+  SELECT a.n_nationkey, a.j AS edge_j,
+    a.vx AS ex, a.vy AS ey, a.vz AS ez,
+    b.vx AS fx, b.vy AS fy, b.vz AS fz
+  FROM vxyz a JOIN vxyz b
+    ON a.n_nationkey = b.n_nationkey AND b.j = a.j + 1
+), segs AS (
+  SELECT c_custkey,
+    CAST((c_custkey * 3571) % 16000 AS DOUBLE) / 100.0 - 80.0 AS clat,
+    CAST((c_custkey * 6689) % 35000 AS DOUBLE) / 100.0 - 175.0 AS clon
+  FROM customer
+), segxyz AS (
+  SELECT c_custkey,
+    cos(radians(clat - 1.0))*cos(radians(clon - 1.3)) AS ax,
+    cos(radians(clat - 1.0))*sin(radians(clon - 1.3)) AS ay,
+    sin(radians(clat - 1.0)) AS az,
+    cos(radians(clat + 1.0))*cos(radians(clon + 1.3)) AS bx,
+    cos(radians(clat + 1.0))*sin(radians(clon + 1.3)) AS by,
+    sin(radians(clat + 1.0)) AS bz
+  FROM segs
+), dets AS (
+  SELECT s.c_custkey, e.n_nationkey, e.edge_j,
+    (s.ay*s.bz - s.az*s.by)*e.ex + (s.az*s.bx - s.ax*s.bz)*e.ey
+      + (s.ax*s.by - s.ay*s.bx)*e.ez AS p,
+    (s.ay*s.bz - s.az*s.by)*e.fx + (s.az*s.bx - s.ax*s.bz)*e.fy
+      + (s.ax*s.by - s.ay*s.bx)*e.fz AS q,
+    (e.ey*e.fz - e.ez*e.fy)*s.bx + (e.ez*e.fx - e.ex*e.fz)*s.by
+      + (e.ex*e.fy - e.ey*e.fx)*s.bz AS r,
+    (e.ey*e.fz - e.ez*e.fy)*s.ax + (e.ez*e.fx - e.ex*e.fz)*s.ay
+      + (e.ex*e.fy - e.ey*e.fx)*s.az AS t
+  FROM segxyz s, edges e
+)
+SELECT c_custkey, n_nationkey, edge_j
+FROM dets WHERE p*q < 0 AND r*t < 0 AND q*t > 0
 """
 
 # radius join: same chord-distance formula as geo_knn's oracle.
@@ -1510,6 +1795,68 @@ SELECT doc_id,
   {_parent_token_expr(16)} AS token_l16
 FROM fin
 """
+
+def _union_ops_sql() -> str:
+    """Canonical-normalized cell-union algebra as pure set + HUGEINT
+    ancestor arithmetic (see geo_cell_union_ops docstring): atom sets
+    combined with UNION / INTERSECT / EXCEPT, then bottom-up sibling
+    fusion replayed as 'all 4^(2-l) atoms present and parent not
+    full'."""
+    m = {lv: 1 << (2 * (30 - lv)) for lv in (0, 1, 2)}
+
+    def anc(col, lv):
+        return f"({col} - ({col} % {2 * m[lv]}) + {m[lv]})"
+
+    tok = ("rtrim(lower(lpad(to_hex(CAST(cell AS UBIGINT)), 16, '0')), "
+           "'0')")
+    return _cell_encode_sql() + f""",
+atoms0 AS (
+  SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS g, {anc('cid', 2)} AS c
+  FROM fin
+), ga AS (
+  SELECT g // 2 AS p, c FROM atoms0 WHERE g % 2 = 0
+), gb AS (
+  SELECT g // 2 AS p, c FROM atoms0 WHERE g % 2 = 1
+), au AS (
+  SELECT DISTINCT p, c FROM (SELECT p, c FROM ga
+                             UNION ALL SELECT p, c FROM gb) uu
+), ai AS (
+  -- set INTERSECT/EXCEPT are not allowed inside a WITH RECURSIVE
+  -- list (the Hilbert CTE above), so spell them as (anti-)joins
+  SELECT ga.p, ga.c FROM ga JOIN gb ON gb.p = ga.p AND gb.c = ga.c
+), ad AS (
+  SELECT ga.p, ga.c FROM ga WHERE NOT EXISTS (
+    SELECT 1 FROM gb WHERE gb.p = ga.p AND gb.c = ga.c)
+), atoms AS (
+  SELECT p, 'union' AS op, c FROM au
+  UNION ALL SELECT p, 'intersect' AS op, c FROM ai
+  UNION ALL SELECT p, 'difference' AS op, c FROM ad
+), f1 AS (
+  SELECT op, p, {anc('c', 1)} AS a1, COUNT(*) AS n
+  FROM atoms GROUP BY 1, 2, 3
+), f0 AS (
+  SELECT op, p, {anc('a1', 0)} AS a0, SUM(n) AS n
+  FROM f1 GROUP BY 1, 2, 3
+), outc AS (
+  SELECT a.op, a.p, a.c AS cell, 2 AS lvl
+  FROM atoms a JOIN f1 ON f1.op = a.op AND f1.p = a.p
+       AND f1.a1 = {anc('a.c', 1)}
+  WHERE f1.n < 4
+  UNION ALL
+  SELECT f1.op, f1.p, f1.a1 AS cell, 1 AS lvl
+  FROM f1 JOIN f0 ON f0.op = f1.op AND f0.p = f1.p
+       AND f0.a0 = {anc('f1.a1', 0)}
+  WHERE f1.n = 4 AND f0.n < 16
+  UNION ALL
+  SELECT op, p, a0 AS cell, 0 AS lvl FROM f0 WHERE n = 16
+)
+SELECT CAST(p AS BIGINT) AS pair_id, op, {tok} AS token,
+       CAST(lvl AS BIGINT) AS level
+FROM outc
+"""
+
+
+ORACLE["geo_cell_union_ops"] = _union_ops_sql()
 
 # Polyline length + midpoint interpolation replayed in SQL: per-edge
 # arc angles (acos of clipped dots), target = half total length, edge
