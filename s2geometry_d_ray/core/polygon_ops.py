@@ -349,8 +349,8 @@ def boolean_op(op: str, a: Polygon, b: Polygon):
     None (empty result).  Semantics follow s2polygon.d:766-905."""
     assert op in ("union", "intersection", "difference")
     # Whole-sphere operands (s2polygon.d: the full polygon): identity /
-    # absorbing element.  difference(full, x) needs a complement, which
-    # this engine does not construct.
+    # absorbing element.  difference(full, x) routes through
+    # initialize_to_complement.
     if getattr(a, "is_full", False) or getattr(b, "is_full", False):
         if op == "union":
             return Polygon.full()

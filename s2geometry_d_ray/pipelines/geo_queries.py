@@ -411,6 +411,56 @@ def geo_pip_join(sf_dir):
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def geo_complement(sf_dir):
+    """initializeToComplement (s2polygon.d:1069-1135) driven end to end:
+    the complements of 8 convex fixture polygons (largest depth-0 loop
+    inverted, core/polygon_ops.py:310) are classified against the doc
+    point stream through the SAME broadcast multi-level covering index
+    + shape-index exact PIP machinery as geo_pip_join.  Near-full-
+    sphere regions are the adversarial case for that machinery: the
+    exterior covering spans every face and the interior covering
+    short-circuits almost every candidate, so this query exercises
+    inverted-loop coverings, inverted-loop parity PIP (origin-inside
+    bookkeeping), and the interior fast path at once.
+
+    ORACLE-CHECKED: a fixture point lies in ~A iff it lies OUTSIDE the
+    convex loop A, i.e. min over edges of (v_i x v_{i+1}) . p < 0 —
+    the exact negation of geo_pip_join's SQL (same edge-normal
+    literals, flipped inequality; min |margin| ~1e-6 over this data,
+    ten orders above float noise, so the sign is unambiguous)."""
+    import ray
+
+    from ..core.polygon_ops import initialize_to_complement
+    from ..stages.geocode import encode_cells
+    from ..stages.join import build_polygon_index, make_join_refine_fn
+
+    comps = [{"polygon_id": rec["polygon_id"],
+              "polygon": initialize_to_complement(rec["polygon"])}
+             for rec in _pip_polygons(8)]
+    index = build_polygon_index(comps, min_level=2, max_level=12)
+    ref = ray.put(index)
+    levels = tuple(range(2, 13))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "url", pc.cast(batch["doc_id"], pa.string()))
+        return encode_cells(batch, levels=levels, with_token=False)
+
+    refine = make_join_refine_fn(ref)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["contained"])
+        return pa.table({
+            "doc_id": pc.cast(batch["url"], pa.int64()),
+            "polygon_id": batch["polygon_id"],
+        })
+
+    return (geo_points(sf_dir)
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(refine, batch_format="pyarrow")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def geo_covering_tokens(sf_dir):
     """Deterministic polygon coverings as tokens.  Rows-only by genuine
     necessity: getCovering is a priority-queue refinement over candidate
@@ -975,6 +1025,7 @@ QUERIES = {
     "s2_knn": s2_knn,
     "geo_spatial_join": geo_spatial_join,
     "geo_pip_join": geo_pip_join,
+    "geo_complement": geo_complement,
     "geo_covering_tokens": geo_covering_tokens,
     "geo_polyline_ops": geo_polyline_ops,
     "geo_boolean_union": geo_boolean_union,
@@ -1046,6 +1097,24 @@ SELECT p.doc_id AS doc_id, CAST(e.polygon_id AS BIGINT) AS polygon_id
 FROM pts p, edges e
 GROUP BY 1, 2
 HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
+"""
+
+# Complement membership: the exact negation of geo_pip_join's convex
+# hemisphere test over the same 8 fixture polygons' edge-normal
+# literals — p in ~A iff some edge hemisphere excludes p.
+ORACLE["geo_complement"] = f"""
+WITH pts AS (
+  SELECT doc_id,
+    cos(radians(lat)) * cos(radians(lon)) AS px,
+    cos(radians(lat)) * sin(radians(lon)) AS py,
+    sin(radians(lat)) AS pz
+  FROM (SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon
+        FROM documents)
+), edges(polygon_id, nx, ny, nz) AS (VALUES {_edges_values(_pip_polygons(8))})
+SELECT p.doc_id AS doc_id, CAST(e.polygon_id AS BIGINT) AS polygon_id
+FROM pts p, edges e
+GROUP BY 1, 2
+HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) < 0
 """
 
 # Mixed boolean operation: the kept/absorbed decisions follow the
