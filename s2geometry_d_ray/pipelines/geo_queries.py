@@ -461,6 +461,68 @@ def geo_complement(sf_dir):
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def geo_mutable_pip(sf_dir):
+    """The incremental MutableShapeIndexSet contract
+    (mutable_s2shape_index.d:404-466 queued updates, :856-906 batched
+    lazy apply) driven through a dataset query: 16 polygons are added
+    and applied, then a mutation script runs (remove every 4th shape,
+    add 4 new ones) and the doc stream is classified against the
+    CURRENT set.  The post-mutation adds ship to the actors still
+    QUEUED — each actor's first batch triggers the batched apply, so
+    the lazy-apply path itself runs inside the actor pool, and
+    pre-existing sub-indexes are reused untouched (asserted in
+    tests/test_mutable_index.py).
+
+    ORACLE-CHECKED: the surviving shape set is known analytically, so
+    the SQL is the convex hemisphere membership test of geo_pip_join
+    over exactly those polygons' edge-normal literals; agreement proves
+    the mutation bookkeeping (remove-before-apply, id assignment,
+    sub-index reuse) changes nothing about containment semantics."""
+    import ray
+
+    from ..core.mutable_index import MutableShapeIndexSet
+
+    polys = _pip_polygons(20)
+    mset = MutableShapeIndexSet()
+    sids = [mset.add(rec["polygon"]) for rec in polys[:16]]
+    # Force one batched apply so the later mutations exercise the
+    # incremental path (existing sub-indexes must survive them).
+    mset.contains_points_any(np.array([[1.0, 0.0, 0.0]]))
+    for sid in sids[1::4]:
+        mset.remove(sid)
+    for rec in polys[16:]:
+        mset.add(rec["polygon"])
+    ref = ray.put(mset)  # adds still pending: actors run the lazy apply
+
+    class MutablePip:
+        def __init__(self, mset_ref):
+            self.mset = ray.get(mset_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..core import coords
+            did = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            x, y, z = coords.latlng_to_xyz(lat, lon)
+            hits = self.mset.containing_shapes(np.stack([x, y, z], 1))
+            docs, shapes = [], []
+            for i, h in enumerate(hits):
+                if len(h):
+                    docs.append(np.full(len(h), did[i], dtype=np.int64))
+                    shapes.append(h)
+            if not docs:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "shape_id": pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "shape_id": pa.array(np.concatenate(shapes), pa.int64()),
+            })
+
+    return geo_points(sf_dir).map_batches(
+        MutablePip, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
 def geo_covering_tokens(sf_dir):
     """Deterministic polygon coverings as tokens.  Rows-only by genuine
     necessity: getCovering is a priority-queue refinement over candidate
@@ -1026,6 +1088,7 @@ QUERIES = {
     "geo_spatial_join": geo_spatial_join,
     "geo_pip_join": geo_pip_join,
     "geo_complement": geo_complement,
+    "geo_mutable_pip": geo_mutable_pip,
     "geo_covering_tokens": geo_covering_tokens,
     "geo_polyline_ops": geo_polyline_ops,
     "geo_boolean_union": geo_boolean_union,
@@ -1115,6 +1178,27 @@ SELECT p.doc_id AS doc_id, CAST(e.polygon_id AS BIGINT) AS polygon_id
 FROM pts p, edges e
 GROUP BY 1, 2
 HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) < 0
+"""
+
+# Mutable-index membership: hemisphere test over the analytically-known
+# post-mutation shape set (adds 0..15, remove ids 1,5,9,13, add 16..19
+# — ids equal fixture pids by add order).
+_MUTABLE_SURVIVORS = [p for p in range(20) if not (p < 16 and p % 4 == 1)]
+ORACLE["geo_mutable_pip"] = f"""
+WITH pts AS (
+  SELECT doc_id,
+    cos(radians(lat)) * cos(radians(lon)) AS px,
+    cos(radians(lat)) * sin(radians(lon)) AS py,
+    sin(radians(lat)) AS pz
+  FROM (SELECT doc_id, {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon
+        FROM documents)
+), edges(shape_id, nx, ny, nz) AS (VALUES {_edges_values(
+    [r for r in _pip_polygons(20)
+     if r["polygon_id"] in set(_MUTABLE_SURVIVORS)])})
+SELECT p.doc_id AS doc_id, CAST(e.shape_id AS BIGINT) AS shape_id
+FROM pts p, edges e
+GROUP BY 1, 2
+HAVING min(e.nx * p.px + e.ny * p.py + e.nz * p.pz) > 0
 """
 
 # Mixed boolean operation: the kept/absorbed decisions follow the
