@@ -18,6 +18,10 @@ import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import Sum as RaySum
 
+# Per-worker-process cache for broadcast plasma objects used by
+# task-based lookup stages (the stages/join.py _INDEX_CACHE pattern).
+_BCAST_CACHE: dict = {}
+
 
 def _read(sf_dir, table, columns):
     import ray.data as rd
@@ -174,28 +178,32 @@ def q5_nation_revenue(sf_dir):
     cust_ref = ray.put((cust_df["c_custkey"].to_numpy(np.int64),
                         cust_df["c_nationkey"].to_numpy(np.int64)))
 
-    class AttachNation:
-        """Stateful broadcast-lookup stage: the customer arrays are
-        fetched from plasma ONCE per actor in __init__ (zero-copy),
-        not per batch."""
-
-        def __init__(self, ref):
-            self.ckeys, self.cnat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.ckeys, ok)
-            pos = np.minimum(pos, len(self.ckeys) - 1)
-            hit = self.ckeys[pos] == ok
-            t = batch.filter(pa.array(hit))
-            return pa.table({
-                "o_orderkey": t["o_orderkey"],
-                "c_nationkey": pa.array(self.cnat[pos[hit]], pa.int64())})
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        """Broadcast-lookup stage as PLAIN TASKS with a per-worker
+        fetch cache (the stages/join.py _INDEX_CACHE pattern): a fixed
+        actor pool here sat UPSTREAM of the hash join, and on a small
+        cluster (the 4-CPU test session) pool actors + join aggregator
+        actors together oversubscribed the CPUs and deadlocked the
+        pipeline.  Tasks reserve nothing, and the plasma get is
+        zero-copy and cached per worker process, so the broadcast-once
+        semantics are unchanged."""
+        arrs = _BCAST_CACHE.get(cust_ref.hex())
+        if arrs is None:
+            arrs = ray.get(cust_ref)
+            _BCAST_CACHE[cust_ref.hex()] = arrs
+        ckeys, cnat = arrs
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ok)
+        pos = np.minimum(pos, len(ckeys) - 1)
+        hit = ckeys[pos] == ok
+        t = batch.filter(pa.array(hit))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_nationkey": pa.array(cnat[pos[hit]], pa.int64())})
 
     orders_nat = _read(sf_dir, "orders",
                        ["o_orderkey", "o_custkey"]).map_batches(
-        AttachNation, fn_constructor_args=(cust_ref,),
-        batch_format="pyarrow", batch_size=65536, concurrency=4)
+        attach_nation, batch_format="pyarrow", batch_size=65536)
 
     def li_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
