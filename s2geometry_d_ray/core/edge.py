@@ -23,33 +23,92 @@ def edge_distances2(x, a, b):
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     b = np.atleast_2d(np.asarray(b, dtype=np.float64))
-    xa2 = _norm2(x[:, None, :] - a[None, :, :])      # (m,n)
-    xb2 = _norm2(x[:, None, :] - b[None, :, :])
-    ab2 = _norm2(a - b)                               # (n,)
+    # Everything below is written COMPONENTWISE over (m, n) planes: no
+    # (m, n, 3) temporaries (1/3 the memory traffic of the broadcast
+    # form and no generic np.cross machinery — ~5x on big batches), no
+    # BLAS dgemm (which rounds the k=3 reduction shape-dependently, so
+    # an index evaluating an edge SUBSET would disagree with the full
+    # matrix — and with the sequential x0*c0 + x1*c1 + x2*c2 chain the
+    # DuckDB oracles replay — in the last ulp).  Each 3-term reduction
+    # is the fixed (t0+t1)+t2 order, identical to the pairwise sum the
+    # previous broadcast form produced: results are bit-identical, and
+    # shape-independent.
+    x0, x1, x2 = (x[:, k][:, None] for k in range(3))   # (m,1)
+    a0, a1, a2 = (a[:, k][None, :] for k in range(3))   # (1,n)
+    b0, b1, b2 = (b[:, k][None, :] for k in range(3))
+    d0, d1, d2_ = x0 - a0, x1 - a1, x2 - a2
+    xa2 = (d0 * d0 + d1 * d1) + d2_ * d2_               # (m,n)
+    d0, d1, d2_ = x0 - b0, x1 - b1, x2 - b2
+    xb2 = (d0 * d0 + d1 * d1) + d2_ * d2_
+    e0, e1, e2 = a0 - b0, a1 - b1, a2 - b2
+    ab2 = (e0 * e0 + e1 * e1) + e2 * e2                 # (1,n)
     vertex_d2 = np.minimum(xa2, xb2)
     # Interior case prefilter: max < min + ab^2 (planar acuteness).
-    maybe_interior = np.maximum(xa2, xb2) < vertex_d2 + ab2[None, :]
+    maybe_interior = np.maximum(xa2, xb2) < vertex_d2 + ab2
     # Stable cross product (b+a)x(b-a) = 2 a x b, matching robustCrossProd's
     # leading term (s2edge_crossings.d); the 2x scale cancels in every
     # ratio below while avoiding catastrophic cancellation for short edges.
-    c = np.cross(b + a, b - a)                        # (n,3)
-    c2 = _norm2(c)                                    # (n,)
-    # Explicit multiply-sum, NOT x @ c.T: BLAS dgemm rounds the k=3
-    # reduction shape-dependently (FMA/blocking), so an index evaluating
-    # an edge SUBSET would disagree with the full matrix — and with the
-    # sequential x0*c0 + x1*c1 + x2*c2 chain the DuckDB oracles replay —
-    # in the last ulp.  The broadcast form reduces pairwise over 3
-    # elements = fixed (t0+t1)+t2 order, shape-independent.
-    x_dot_c = (x[:, None, :] * c[None, :, :]).sum(axis=2)   # (m,n)
+    s0, s1, s2 = b0 + a0, b1 + a1, b2 + a2              # (1,n)
+    t0, t1, t2 = b0 - a0, b1 - a1, b2 - a2
+    c0 = s1 * t2 - s2 * t1
+    c1 = s2 * t0 - s0 * t2
+    c2v = s0 * t1 - s1 * t0
+    c2 = (c0 * c0 + c1 * c1) + c2v * c2v                # (1,n)
+    x_dot_c = (x0 * c0 + x1 * c1) + x2 * c2v            # (m,n)
     # Wedge test: a.(c x x) >= 0 or b.(c x x) <= 0 -> vertex case.
-    cx = np.cross(c[None, :, :], x[:, None, :])       # (m,n,3)
-    a_cx = (a[None, :, :] * cx).sum(axis=2)
-    b_cx = (b[None, :, :] * cx).sum(axis=2)
+    cx0 = c1 * x2 - c2v * x1                            # (m,n)
+    cx1 = c2v * x0 - c0 * x2
+    cx2 = c0 * x1 - c1 * x0
+    a_cx = (a0 * cx0 + a1 * cx1) + a2 * cx2
+    b_cx = (b0 * cx0 + b1 * cx1) + b2 * cx2
     interior = maybe_interior & (a_cx < 0) & (b_cx > 0)
+    cx_n2 = (cx0 * cx0 + cx1 * cx1) + cx2 * cx2
     with np.errstate(divide="ignore", invalid="ignore"):
-        qr = 1.0 - np.sqrt(_norm2(cx) / np.where(c2 == 0, 1.0, c2)[None, :])
-        int_d2 = (x_dot_c ** 2) / np.where(c2 == 0, 1.0, c2)[None, :] \
-            + qr * qr
+        c2_safe = np.where(c2 == 0, 1.0, c2)
+        qr = 1.0 - np.sqrt(cx_n2 / c2_safe)
+        int_d2 = (x_dot_c ** 2) / c2_safe + qr * qr
+    return np.where(interior, np.minimum(int_d2, vertex_d2), vertex_d2)
+
+
+def edge_distances2_pairwise(x, a, b):
+    """Row-wise variant of edge_distances2: x, a, b are (k, 3) and row i
+    is evaluated against row i only -> (k,).  The componentwise
+    expressions are IDENTICAL to edge_distances2's (same fixed
+    (t0+t1)+t2 reduction order), so each output is bit-identical to the
+    corresponding matrix entry — flat gathered (point, edge) pair lists
+    can mix freely with matrix evaluations."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
+    a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+    d0, d1, d2_ = x0 - a0, x1 - a1, x2 - a2
+    xa2 = (d0 * d0 + d1 * d1) + d2_ * d2_
+    d0, d1, d2_ = x0 - b0, x1 - b1, x2 - b2
+    xb2 = (d0 * d0 + d1 * d1) + d2_ * d2_
+    e0, e1, e2 = a0 - b0, a1 - b1, a2 - b2
+    ab2 = (e0 * e0 + e1 * e1) + e2 * e2
+    vertex_d2 = np.minimum(xa2, xb2)
+    maybe_interior = np.maximum(xa2, xb2) < vertex_d2 + ab2
+    s0, s1, s2 = b0 + a0, b1 + a1, b2 + a2
+    t0, t1, t2 = b0 - a0, b1 - a1, b2 - a2
+    c0 = s1 * t2 - s2 * t1
+    c1 = s2 * t0 - s0 * t2
+    c2v = s0 * t1 - s1 * t0
+    c2 = (c0 * c0 + c1 * c1) + c2v * c2v
+    x_dot_c = (x0 * c0 + x1 * c1) + x2 * c2v
+    cx0 = c1 * x2 - c2v * x1
+    cx1 = c2v * x0 - c0 * x2
+    cx2 = c0 * x1 - c1 * x0
+    a_cx = (a0 * cx0 + a1 * cx1) + a2 * cx2
+    b_cx = (b0 * cx0 + b1 * cx1) + b2 * cx2
+    interior = maybe_interior & (a_cx < 0) & (b_cx > 0)
+    cx_n2 = (cx0 * cx0 + cx1 * cx1) + cx2 * cx2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c2_safe = np.where(c2 == 0, 1.0, c2)
+        qr = 1.0 - np.sqrt(cx_n2 / c2_safe)
+        int_d2 = (x_dot_c ** 2) / c2_safe + qr * qr
     return np.where(interior, np.minimum(int_d2, vertex_d2), vertex_d2)
 
 

@@ -50,7 +50,8 @@ class PolygonShapeIndex:
                  "offsets_by_level", "edge_ids_by_level", "cells",
                  "offsets", "edge_ids", "centers", "contains_center",
                  "edge_a", "edge_b", "edge_n", "n_edges",
-                 "edge_mid", "edge_half_ang", "_last_edges_evaluated")
+                 "edge_mid", "edge_half_ang", "_last_edges_evaluated",
+                 "_bucket_tab")
 
     def __init__(self, polygon, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.polygon = polygon
@@ -194,47 +195,216 @@ class PolygonShapeIndex:
                 return True
         return False
 
+    def _closest_bucket_table(self):
+        """Lazy flat bucket table for the vectorized closest-edge
+        search: one bounding cap per NON-EMPTY bucket across all index
+        levels (center = normalized mean of member edge midpoints,
+        radius = max over members of angle-to-center + edge half-angle
+        — every point of every member edge lies inside the cap), plus
+        [start, end) slices into one flat member-edge-id array.
+        Duplicated membership (an edge sits in its own cell AND its
+        neighbors') only costs redundant evaluation, never correctness."""
+        tab = getattr(self, "_bucket_tab", None)
+        if tab is not None:
+            return tab
+        centers, radii, starts, counts, flat = [], [], [], [], []
+        pos = 0
+        # Antipodal (degenerate-cap) edges have no finite midpoint cap;
+        # force their buckets unprunable.
+        half_eff = np.where(self.edge_half_ang >= np.pi / 2 - 1e-12,
+                            np.pi, self.edge_half_ang)
+        for lvl in self.levels:
+            offs = self.offsets_by_level[lvl]
+            eids = self.edge_ids_by_level[lvl]
+            if not len(eids):
+                continue
+            cnt = np.diff(offs)
+            keep = np.nonzero(cnt > 0)[0]
+            mids = self.edge_mid[eids]
+            sums = np.add.reduceat(mids, offs[keep])
+            c = sums / np.maximum(np.linalg.norm(sums, axis=1,
+                                                 keepdims=True), 1e-300)
+            dots = (mids * np.repeat(c, cnt[keep], axis=0)).sum(axis=1)
+            val = np.arccos(np.clip(dots, -1.0, 1.0)) + half_eff[eids]
+            rmax = np.maximum.reduceat(val, offs[keep])
+            centers.append(c)
+            radii.append(rmax)
+            starts.append(pos + offs[keep])
+            counts.append(cnt[keep])
+            flat.append(eids)
+            pos += len(eids)
+        if not centers:
+            e3 = np.empty(0, np.int64)
+            tab = (np.empty((0, 3)), np.empty(0), e3, e3, e3,
+                   np.empty((0, 3)), np.empty(0), e3, e3, e3)
+            self._bucket_tab = tab
+            return tab
+        st = np.concatenate(starts)
+        ct = np.concatenate(counts)
+        C = np.concatenate(centers)
+        R = np.concatenate(radii)
+        nb = len(R)
+        # Super-cap level: runs of Hilbert-adjacent buckets (sorted by
+        # center leaf cell id, so runs are spatially coherent), capped
+        # at ~1024 supers; the query prunes point x super densely and
+        # only expands surviving supers to member buckets.  With
+        # nb <= 1024 each bucket is its own super (identity level).
+        if nb <= 1024:
+            sup = (C, R, np.arange(nb, dtype=np.int64),
+                   np.arange(1, nb + 1, dtype=np.int64),
+                   np.arange(nb, dtype=np.int64))
+        else:
+            order = np.argsort(ci.cellid_from_xyz(C[:, 0], C[:, 1],
+                                                  C[:, 2]))
+            g = int(np.ceil(nb / 1024))
+            bnd = np.arange(0, nb, g, dtype=np.int64)
+            cs = C[order]
+            sums = np.add.reduceat(cs, bnd)
+            sc = sums / np.maximum(np.linalg.norm(sums, axis=1,
+                                                  keepdims=True), 1e-300)
+            run = np.minimum(np.arange(nb) // g, len(bnd) - 1)
+            dots = (cs * sc[run]).sum(axis=1)
+            val = np.arccos(np.clip(dots, -1.0, 1.0)) + R[order]
+            sr = np.maximum.reduceat(val, bnd)
+            sup = (sc, sr, bnd,
+                   np.append(bnd[1:], nb).astype(np.int64),
+                   order.astype(np.int64))
+        tab = (C, R, st, st + ct, np.concatenate(flat)) + sup
+        self._bucket_tab = tab
+        return tab
+
     def closest_edge_batch(self, pts):
-        """Vectorized-candidate + warm-started best-first closest edge
-        for a batch of query points (the kNN batching pattern,
-        stages/knn.py): stage 1 evaluates each point's own bucket cells
-        at every index level — an achievable upper bound from a few
-        vectorized kernel calls — and stage 2 runs the exact best-first
-        search warm-started at that bound, so the heap usually only
-        proves optimality instead of discovering the answer.  Identical
-        results to per-point closest_edge; returns (d2, edge_id)."""
-        from .edge import edge_distances2
+        """Fully-vectorized exact closest edge for a batch of query
+        points — no per-point traversal (the r2 heap loop ran ~1k
+        pts/s/core; this runs millions).  Exactness argument: every
+        edge belongs to at least one bucket; a bucket's cap gives the
+        lower bound d(p, any member edge) >= angle(p, center) - radius,
+        so any bucket whose chord-squared lower bound is >= the current
+        achieved upper bound can be skipped without changing the min.
+        Stages: (1) seed upper bound from each point's nearest bucket
+        center (grouped per bucket, one edge_distances2 call each);
+        (2) evaluate surviving (point, bucket) pairs bucket-by-bucket
+        in ascending lower-bound order, re-filtering against the
+        tightening best.  edge_distances2 is bit-identical on subsets
+        (fixed-order reduction), so results equal brute force exactly;
+        returns (d2, edge_id) with edge_id achieving d2 (tie edge
+        unspecified, as in the heap search).
+        Semantics: s2closest_edge_query_base.d:380-750 (distance), with
+        the cap-pruning playing the role of the cell-distance queue."""
+        from .edge import edge_distances2, edge_distances2_pairwise
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
         n = len(pts)
         if self.n_edges <= self.MAX_BRUTE_FORCE_EDGES or not self.levels:
+            # Chunk by PAIR budget: edge_distances2 is memory-bound and
+            # ~3x faster when its (chunk, n_edges) planes stay in cache.
+            step = max(64, 262144 // max(1, self.n_edges))
+            if n > step:
+                outs = [self.closest_edge_batch(pts[i:i + step])
+                        for i in range(0, n, step)]
+                return (np.concatenate([o[0] for o in outs]),
+                        np.concatenate([o[1] for o in outs]))
             d2 = edge_distances2(pts, self.edge_a, self.edge_b)
             ids = d2.argmin(axis=1)
             return d2[np.arange(n), ids], ids.astype(np.int64)
+        tab = self._closest_bucket_table()
+        centers, radii, starts, ends, flat = tab[:5]
+        sup_centers, sup_radii, sup_starts, sup_ends, sup_members = tab[5:]
+        nb = len(radii)
+        if not nb:
+            return np.full(n, np.inf), np.full(n, -1, dtype=np.int64)
+        nsup = len(sup_radii)
+        step = max(256, min(8192, 262144 // nsup))  # (chunk, nsup) cached
+        if n > step:
+            outs = [self.closest_edge_batch(pts[i:i + step])
+                    for i in range(0, n, step)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
+        SLACK = 1e-9  # absorbs cap/trig rounding: never over-prune
+
+        # Level 1: dense point x super-cap bounds.  For each (p, cap):
+        #   upper bound  angle(p, nearest edge in cap) <= ang + radius
+        #     (valid because the cap CONTAINS at least one whole edge),
+        #   lower bound  >= ang - radius.
+        # ub_d2 = min over caps of chord^2(ang + radius); a cap survives
+        # iff its lower bound can beat ub, i.e. cosang > cos(ub_ang +
+        # radius + slack) — built from 1-D trig + one outer combination
+        # (cos(a+b) expansion), never arccos over the full matrix.
         best = np.full(n, np.inf)
         best_id = np.full(n, -1, dtype=np.int64)
-        leaf = ci.cellid_from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
-        for lvl in self.levels:
-            cells = self.cells_by_level[lvl]
-            if not len(cells):
-                continue
-            anc = ci.parent(leaf, lvl)
-            k = np.searchsorted(cells, anc)
-            kc = np.minimum(k, len(cells) - 1)
-            offs = self.offsets_by_level[lvl]
-            eids_l = self.edge_ids_by_level[lvl]
-            for i in np.nonzero(cells[kc] == anc)[0].tolist():
-                e = eids_l[offs[kc[i]]:offs[kc[i] + 1]]
-                if not len(e):
-                    continue
-                ed2 = edge_distances2(pts[i][None, :], self.edge_a[e],
-                                      self.edge_b[e])[0]
-                j = int(ed2.argmin())
-                if float(ed2[j]) < best[i]:
-                    best[i] = float(ed2[j])
-                    best_id[i] = int(e[j])
-        for i in range(n):
-            best[i], best_id[i] = self._closest_edge_one(
-                pts[i], best=float(best[i]), best_id=int(best_id[i]))
+
+        def expand(pt, grp_starts, grp_ends, members):
+            """(point, group) pairs -> flat (point, member) pairs."""
+            cnt = grp_ends - grp_starts
+            total = int(cnt.sum())
+            base = np.repeat(grp_starts, cnt)
+            local = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt,
+                                                 cnt)
+            return np.repeat(pt, cnt), members[base + local]
+
+        def eval_edges(pt_b, bk_b):
+            """(point, bucket) pairs -> evaluate member edges with one
+            pairwise kernel call + unsorted segment-min scatter."""
+            pt_e, e_pairs = expand(pt_b, starts[bk_b], ends[bk_b], flat)
+            if len(pt_e):
+                d = edge_distances2_pairwise(
+                    pts[pt_e], self.edge_a[e_pairs],
+                    self.edge_b[e_pairs])
+                np.minimum.at(best, pt_e, d)
+                ach = d == best[pt_e]
+                best_id[pt_e[ach]] = e_pairs[ach]
+
+        cosang = pts @ sup_centers.T                    # (n, nsup)
+        sin_ = np.sqrt(np.maximum(0.0, 1.0 - cosang * cosang))
+        cosr = np.cos(sup_radii)
+        sinr = np.sin(sup_radii)
+        cos_ub = cosang * cosr[None, :] - sin_ * sinr[None, :]
+        # ang + radius may exceed pi, where the cos identity no longer
+        # bounds the (<= pi) true angle: clamp those entries to cos(pi).
+        np.copyto(cos_ub, -1.0, where=cosang <= -cosr[None, :])
+        ub_d2 = 2.0 - 2.0 * cos_ub.max(axis=1)          # (n,)
+        identity = nsup == nb  # each bucket is its own super
+        seed = None
+        if identity:
+            # Tighten ub to an EVALUATED (edge-achieved) distance from
+            # each point's nearest bucket — much tighter than the cap
+            # bound, so far fewer candidates survive below.
+            seed = cosang.argmax(axis=1)
+            eval_edges(np.arange(n), seed)
+            np.minimum(ub_d2, best, out=ub_d2)
+        ub_ang = 2.0 * np.arcsin(
+            np.minimum(1.0, 0.5 * np.sqrt(ub_d2))) + SLACK
+        thr = (np.cos(ub_ang)[:, None] * cosr[None, :]
+               - np.sin(ub_ang)[:, None] * sinr[None, :])
+        mask = cosang > thr
+        mask |= (ub_ang[:, None] + sup_radii[None, :]) >= np.pi
+        if seed is not None:
+            mask[np.arange(n), seed] = False
+        pt_s, sp_s = np.nonzero(mask)
+
+        if identity:
+            pt_b, bk_b = pt_s, sp_s
+            cosb = cosang[pt_s, sp_s]
+        else:
+            # Level 2: expand surviving supers to member buckets,
+            # pairwise bucket-cap bounds tighten ub (minimum.at).
+            pt_b, bk_b = expand(pt_s, sup_starts[sp_s], sup_ends[sp_s],
+                                sup_members)
+            cb = centers[bk_b]
+            p = pts[pt_b]
+            cosb = (p[:, 0] * cb[:, 0] + p[:, 1] * cb[:, 1]) \
+                + p[:, 2] * cb[:, 2]
+        ang_b = np.arccos(np.clip(cosb, -1.0, 1.0))
+        if not identity:
+            ub_b = 4.0 * np.sin(0.5 * np.minimum(
+                ang_b + radii[bk_b], np.pi)) ** 2
+            np.minimum.at(ub_d2, pt_b, ub_b)
+        lb_b = np.maximum(ang_b - radii[bk_b] - SLACK, 0.0)
+        keep = 4.0 * np.sin(0.5 * lb_b) ** 2 <= ub_d2[pt_b]
+
+        # Level 3: evaluate surviving buckets' edges.  Exact: the bucket
+        # holding the true argmin edge has lb <= true d2 <= ub, so it
+        # survived every filter above.
+        eval_edges(pt_b[keep], bk_b[keep])
         return best, best_id
 
     def _closest_edge_one(self, p, best=np.inf, best_id=-1):
@@ -380,7 +550,7 @@ class EdgeVectorIndex:
     __slots__ = ("level", "levels", "cells_by_level", "offsets_by_level",
                  "edge_ids_by_level", "cells", "offsets", "edge_ids",
                  "edge_a", "edge_b", "n_edges", "edge_mid", "edge_half_ang",
-                 "_last_edges_evaluated")
+                 "_last_edges_evaluated", "_bucket_tab")
 
     def __init__(self, edge_a, edge_b, max_edges_per_cell=MAX_EDGES_PER_CELL):
         self.edge_a = np.atleast_2d(np.asarray(edge_a, dtype=np.float64))
@@ -395,6 +565,8 @@ class EdgeVectorIndex:
 EdgeVectorIndex.MAX_BRUTE_FORCE_EDGES = PolygonShapeIndex.MAX_BRUTE_FORCE_EDGES
 EdgeVectorIndex.closest_edge = PolygonShapeIndex.closest_edge
 EdgeVectorIndex.closest_edge_batch = PolygonShapeIndex.closest_edge_batch
+EdgeVectorIndex._closest_bucket_table = \
+    PolygonShapeIndex._closest_bucket_table
 EdgeVectorIndex.boundary_distance2 = PolygonShapeIndex.boundary_distance2
 EdgeVectorIndex.boundary_distance2_brute = \
     PolygonShapeIndex.boundary_distance2_brute
