@@ -549,6 +549,29 @@ def edge_neighbors(cell_id):
     return out
 
 
+def all_neighbors_ring(cell_id, lvl):
+    """Vectorized same-level 8-ring: the exact probe set of
+    all_neighbors with nbr_level == own level (origin-snapped i/j,
+    +-size offsets, identical same-face wrap), returned as (n, 8)
+    uint64 WITH possible duplicates at face corners — callers dedup.
+    Equivalence with the scalar all_neighbors is pinned by test."""
+    cid = np.asarray(cell_id, dtype=np.uint64).reshape(-1)
+    size = np.int64(1 << (MAX_LEVEL - lvl))
+    face, i, j = to_face_ij(cid)
+    i = i & -size
+    j = j & -size
+    out = np.empty((len(cid), 8), dtype=np.uint64)
+    combos = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+              (0, 1), (1, -1), (1, 0), (1, 1))
+    for idx, (di, dj) in enumerate(combos):
+        ni = i + di * size
+        nj = j + dj * size
+        same = (ni >= 0) & (ni < MAX_SIZE) & (nj >= 0) & (nj < MAX_SIZE)
+        leaf = _from_face_ij_same(face, ni, nj, same)
+        out[:, idx] = parent(leaf, lvl)
+    return out
+
+
 def all_neighbors(cell_id, nbr_level=None):
     """All neighbors at nbr_level (>= own level): the ring of 8 for
     equal level (s2cell_id.d:939-986). Scalar fast path (plain ints)."""

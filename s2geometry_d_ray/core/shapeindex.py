@@ -590,12 +590,19 @@ def _build_edge_buckets(self, max_edges_per_cell):
 
     # Per-edge level: finest level <= anchor whose min cell width
     # exceeds the edge length (keeps the 3x3 superset guarantee).
-    edge_level = np.empty(self.n_edges, dtype=np.int64)
-    for i in range(self.n_edges):
-        le = MIN_WIDTH.get_level_for_min_value(float(ang[i]) * 1.001)
-        edge_level[i] = min(self.level, max(0, le))
+    # Vectorized get_level_for_min_value: frexp exponent - 1 == ilogb,
+    # identical to the scalar Metric method per element.
+    import math
 
-    from .edge import edge_distances2
+    from .metrics import MAX_DIAG
+    v = ang * 1.001
+    with np.errstate(divide="ignore", over="ignore"):
+        le = np.frexp(MIN_WIDTH.deriv
+                      / np.where(v <= 0, np.inf, v))[1] - 1
+    le = np.where(v <= 0, 30, np.clip(le, 0, 30))
+    edge_level = np.minimum(self.level, le).astype(np.int64)
+
+    from .edge import edge_distances2_pairwise
     la_leaf = ci.cellid_from_xyz(self.edge_a[:, 0], self.edge_a[:, 1],
                                  self.edge_a[:, 2])
     lb_leaf = ci.cellid_from_xyz(self.edge_b[:, 0], self.edge_b[:, 1],
@@ -612,59 +619,65 @@ def _build_edge_buckets(self, max_edges_per_cell):
         sel = np.nonzero(edge_level == lvl)[0]
         la = ci.parent(la_leaf[sel], lvl)
         lb = ci.parent(lb_leaf[sel], lvl)
-        cand_cells: dict[int, set] = {}
-        ring_cache: dict[int, np.ndarray] = {}
-
-        def ring(cell, lvl=lvl, ring_cache=ring_cache):
-            r = ring_cache.get(int(cell))
-            if r is None:
-                r = ci.all_neighbors(np.uint64(cell), lvl)
-                ring_cache[int(cell)] = r
-            return r
-
-        for k, i in enumerate(sel.tolist()):
-            cells = {int(la[k]), int(lb[k])}
-            if lvl == 0:
-                # an edge can span beyond the 3x3 guarantee at the
-                # face level; bucket it on every face (6 cells)
-                cells.update((f << 61) | (1 << 60) for f in range(6))
-            else:
-                for c in (la[k], lb[k]):
-                    cells.update(int(v) for v in ring(c))
-            for c in cells:
-                cand_cells.setdefault(c, set()).add(i)
-
-        cells_sorted = np.array(sorted(cand_cells), dtype=np.uint64)
-        offsets = [0]
-        edge_ids = []
-        for c in cells_sorted.tolist():
-            cell = Cell(c)
-            ids = np.array(sorted(cand_cells[c]), dtype=np.int64)
-            # prune: min distance from cell center to the edge must
-            # be within the cell's circumradius (cap radius) + slack
-            cap = cell.cap_bound()
-            d2 = edge_distances2(np.asarray(cell.center())[None, :],
-                                 self.edge_a[ids],
-                                 self.edge_b[ids])[0]
-            ids = ids[d2 <= cap.radius2 * 4.0 + 1e-12]
-            edge_ids.append(ids)
-            offsets.append(offsets[-1] + len(ids))
-        keepc = np.array([len(e) > 0 for e in edge_ids], dtype=bool)
-        cells_k = cells_sorted[keepc]
-        eids_k = np.concatenate(
-            [e for e, ok in zip(edge_ids, keepc) if ok]) \
-            if keepc.any() else np.empty(0, dtype=np.int64)
-        offs = [0]
-        for e, ok in zip(edge_ids, keepc):
-            if ok:
-                offs.append(offs[-1] + len(e))
+        # Candidate (cell, edge) pairs as flat columns: each edge maps
+        # to its endpoints' cells plus their 8-rings (the 3x3 superset
+        # guarantee).  Rings are computed once per UNIQUE parent cell
+        # (the only remaining scalar loop — #occupied cells, not
+        # #edges); everything else is array work.
+        if lvl == 0:
+            # an edge can span beyond the 3x3 guarantee at the face
+            # level; bucket it on every face (6 cells)
+            faces = np.array([(f << 61) | (1 << 60) for f in range(6)],
+                             dtype=np.uint64)
+            cols = np.concatenate(
+                [la[:, None], lb[:, None],
+                 np.broadcast_to(faces, (len(sel), 6))], axis=1)
+        else:
+            uniq = np.unique(np.concatenate([la, lb]))
+            ring_tab = ci.all_neighbors_ring(uniq, lvl)
+            cols = np.concatenate(
+                [la[:, None], lb[:, None],
+                 ring_tab[np.searchsorted(uniq, la)],
+                 ring_tab[np.searchsorted(uniq, lb)]], axis=1)
+        ncol = cols.shape[1]
+        pair_cell = cols.ravel()
+        pair_eid = np.repeat(sel, ncol)
+        order = np.lexsort((pair_eid, pair_cell))
+        pair_cell = pair_cell[order]
+        pair_eid = pair_eid[order]
+        dup = np.zeros(len(pair_cell), dtype=bool)
+        dup[1:] = (pair_cell[1:] == pair_cell[:-1]) \
+            & (pair_eid[1:] == pair_eid[:-1])
+        pair_cell = pair_cell[~dup]
+        pair_eid = pair_eid[~dup]
+        # Prune: center-to-edge distance within the LEVEL's max cell
+        # cap radius (chord of half the max diagonal — validated >=
+        # every per-cell cap radius at each level) x the same 4x slack
+        # as before.  A level-wide bound keeps supersets of the old
+        # per-cell prune, so the 3x3 candidate guarantee is intact.
+        cells_u = np.unique(pair_cell)
+        centers_u = np.stack(ci.to_xyz(cells_u), axis=1)
+        cidx = np.searchsorted(cells_u, pair_cell)
+        half_diag = min(MAX_DIAG.get_value(lvl) / 2.0, math.pi)
+        thr = 4.0 * (2.0 * math.sin(half_diag / 2.0)) ** 2 + 1e-12
+        keepp = np.empty(len(pair_eid), dtype=bool)
+        for i0 in range(0, len(pair_eid), 1 << 19):  # cache-sized chunks
+            sl = slice(i0, i0 + (1 << 19))
+            keepp[sl] = edge_distances2_pairwise(
+                centers_u[cidx[sl]], self.edge_a[pair_eid[sl]],
+                self.edge_b[pair_eid[sl]]) <= thr
+        pair_cell = pair_cell[keepp]
+        pair_eid = pair_eid[keepp]
+        cells_k, counts = np.unique(pair_cell, return_counts=True)
+        offs = np.zeros(len(cells_k) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
         self.cells_by_level[lvl] = cells_k
-        self.offsets_by_level[lvl] = np.array(offs, dtype=np.int64)
-        self.edge_ids_by_level[lvl] = eids_k
+        self.offsets_by_level[lvl] = offs
+        self.edge_ids_by_level[lvl] = pair_eid.astype(np.int64)
         if lvl == self.level:
             anchor_cells = cells_k
-            anchor_eids = eids_k
-            anchor_offsets = self.offsets_by_level[lvl]
+            anchor_eids = self.edge_ids_by_level[lvl]
+            anchor_offsets = offs
 
     # Anchor-level views (kept under the historical names: the
     # crossing/knn queries consume .cells/.offsets/.edge_ids).
