@@ -574,6 +574,35 @@ EdgeVectorIndex._closest_edge_one = PolygonShapeIndex._closest_edge_one
 EdgeVectorIndex._subtree_has_cells = PolygonShapeIndex._subtree_has_cells
 
 
+def _cell_cap_radius2(cells):
+    """Vectorized Cell.cap_bound().radius2: max squared chord from the
+    cell center to its 4 (normalized) uv-rect corner vertices
+    (s2cell.d:482-498 semantics)."""
+    from . import coords
+    cid = np.asarray(cells, dtype=np.uint64)
+    if not len(cid):
+        return np.empty(0)
+    lvl = ci.level(cid)
+    face, i, j = ci.to_face_ij(cid)
+    size = (np.int64(1) << (np.int64(ci.MAX_LEVEL) - lvl)).astype(
+        np.int64)
+    i0 = i & -size
+    j0 = j & -size
+    scale = 1.0 / coords.LIMIT_IJ
+    u_lo = coords.st_to_uv(scale * i0)
+    u_hi = coords.st_to_uv(scale * (i0 + size))
+    v_lo = coords.st_to_uv(scale * j0)
+    v_hi = coords.st_to_uv(scale * (j0 + size))
+    cx, cy, cz = ci.to_xyz(cid)
+    r2 = np.zeros(len(cid))
+    for u, v in ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi)):
+        x, y, z = coords.face_uv_to_xyz(face, u, v)
+        n = np.sqrt((x * x + y * y) + z * z)
+        dx, dy, dz = cx - x / n, cy - y / n, cz - z / n
+        np.maximum(r2, (dx * dx + dy * dy) + dz * dz, out=r2)
+    return r2
+
+
 def _build_edge_buckets(self, max_edges_per_cell):
     """Shared bucket construction over self.edge_a/edge_b (see the
     module docstring for the level rules).  Sets level, levels,
@@ -592,9 +621,6 @@ def _build_edge_buckets(self, max_edges_per_cell):
     # exceeds the edge length (keeps the 3x3 superset guarantee).
     # Vectorized get_level_for_min_value: frexp exponent - 1 == ilogb,
     # identical to the scalar Metric method per element.
-    import math
-
-    from .metrics import MAX_DIAG
     v = ang * 1.001
     with np.errstate(divide="ignore", over="ignore"):
         le = np.frexp(MIN_WIDTH.deriv
@@ -650,22 +676,20 @@ def _build_edge_buckets(self, max_edges_per_cell):
             & (pair_eid[1:] == pair_eid[:-1])
         pair_cell = pair_cell[~dup]
         pair_eid = pair_eid[~dup]
-        # Prune: center-to-edge distance within the LEVEL's max cell
-        # cap radius (chord of half the max diagonal — validated >=
-        # every per-cell cap radius at each level) x the same 4x slack
-        # as before.  A level-wide bound keeps supersets of the old
-        # per-cell prune, so the 3x3 candidate guarantee is intact.
+        # Prune: center-to-edge distance within the PER-CELL cap radius
+        # (max chord from center to the 4 vertices, vectorized — the
+        # same Cell.cap_bound().radius2 value as the scalar build) x
+        # the same 4x slack as before.
         cells_u = np.unique(pair_cell)
         centers_u = np.stack(ci.to_xyz(cells_u), axis=1)
         cidx = np.searchsorted(cells_u, pair_cell)
-        half_diag = min(MAX_DIAG.get_value(lvl) / 2.0, math.pi)
-        thr = 4.0 * (2.0 * math.sin(half_diag / 2.0)) ** 2 + 1e-12
+        thr = 4.0 * _cell_cap_radius2(cells_u)[cidx] + 1e-12
         keepp = np.empty(len(pair_eid), dtype=bool)
         for i0 in range(0, len(pair_eid), 1 << 19):  # cache-sized chunks
             sl = slice(i0, i0 + (1 << 19))
             keepp[sl] = edge_distances2_pairwise(
                 centers_u[cidx[sl]], self.edge_a[pair_eid[sl]],
-                self.edge_b[pair_eid[sl]]) <= thr
+                self.edge_b[pair_eid[sl]]) <= thr[sl]
         pair_cell = pair_cell[keepp]
         pair_eid = pair_eid[keepp]
         cells_k, counts = np.unique(pair_cell, return_counts=True)
