@@ -146,7 +146,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_sessions", "dedup_exact", "token_counts",
                  "ann_cosine_topk", "geo_knn", "geo_grid_tile_count",
                  "minhash_lsh_pairs", "near_dup_pairs_exact",
-                 "geo_cell_encode", "simhash_sketch"]:
+                 "geo_cell_encode", "simhash_sketch", "geo_closest_edge"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "to_pandas"):
