@@ -67,8 +67,9 @@ class PolygonShapeIndex:
         self.n_edges = len(self.edge_a)
         _build_edge_buckets(self, max_edges_per_cell)
         if len(self.cells):
-            self.centers = np.stack([Cell(int(c)).center()
-                                     for c in self.cells])
+            # ci.to_xyz is bit-identical to Cell.center() per cell
+            # (same si/ti-midpoint + normalize chain), vectorized.
+            self.centers = np.stack(ci.to_xyz(self.cells), axis=1)
             # Exact containment of every anchor bucket-cell center (one
             # vectorized full PIP — the InteriorTracker equivalent).
             self.contains_center = polygon.contains_points(self.centers)
