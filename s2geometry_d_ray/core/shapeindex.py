@@ -126,13 +126,13 @@ class PolygonShapeIndex:
         else:
             known = np.zeros(len(uniq), dtype=bool)
         centers = np.empty((len(uniq), 3))
-        for k, c in enumerate(uniq.tolist()):
-            if known[k]:
-                centers[k] = self.centers[pos[k]]
-            else:
-                centers[k] = Cell(int(c)).center()
-        if (~known).any():
-            base[~known] = self.polygon.contains_points(centers[~known])
+        if known.any():
+            centers[known] = self.centers[pos[known]]
+        unknown = ~known
+        if unknown.any():
+            # ci.to_xyz == Cell.center() bit-for-bit, vectorized.
+            centers[unknown] = np.stack(ci.to_xyz(uniq[unknown]), axis=1)
+            base[unknown] = self.polygon.contains_points(centers[unknown])
         for k, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
             rows = order[s:e]
             eids = self._bucket_union(uniq[k])

@@ -15,6 +15,9 @@ import pyarrow as pa
 
 from ..state.broadcast import fetch
 
+# Per-worker-process cache for task-based broadcast stages.
+_TOPK_CACHE: dict = {}
+
 
 def _stack_embeddings(col):
     """Arrow list<float> column -> (n, d) float32 matrix, zero-copy-ish."""
@@ -86,10 +89,23 @@ def ann_topk(embeddings_ds, query_ids, k=5, concurrency=2):
     order = np.argsort(qtbl["vec_id"].to_numpy())
     ref = broadcast({"query_ids": qtbl["vec_id"].to_numpy()[order],
                      "matrix": qmat[order]})
+    # Plain tasks with a per-worker instance cache instead of a fixed
+    # actor pool: identical broadcast-once semantics (the plasma get is
+    # zero-copy and cached per worker process), no reserved CPUs, no
+    # actor spin-up on the critical path (the q5 deadlock lesson —
+    # stages/join.py _INDEX_CACHE pattern).
+    del concurrency
+
+    def topk_task(batch: pa.Table) -> pa.Table:
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        inst = _TOPK_CACHE.get(key)
+        if inst is None:
+            inst = BruteForceTopK(ref, k)
+            _TOPK_CACHE[key] = inst
+        return inst(batch)
+
     partials = embeddings_ds.map_batches(
-        BruteForceTopK, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
-        num_cpus=1).to_pandas()
+        topk_task, batch_format="pyarrow", batch_size=4096).to_pandas()
     partials.sort_values(["query_id", "score", "vec_id"],
                          ascending=[True, False, True], inplace=True)
     top = partials.groupby("query_id", sort=True).head(k).copy()
