@@ -1037,6 +1037,35 @@ def geo_closest_edge(sf_dir):
         batch_format="pyarrow", concurrency=2, num_cpus=1)
 
 
+def geo_furthest_edge(sf_dir):
+    """S2FurthestEdgeQuery at dataset scale (s2furthest_edge_query.d;
+    MaxDistance targets s2max_distance_targets.d): squared chord
+    distance from every document point to the FARTHEST point of the
+    same 175-edge chain collection as geo_closest_edge.  The engine
+    computes it through the exact antipode identity |p-x|^2 =
+    4 - |-p-x|^2 (stages/closest_edge.py furthest=True), so the
+    indexed closest-edge machinery answers max-distance queries with
+    antipodal query points — a bucket-access pattern the closest query
+    never produces.
+
+    ORACLE-CHECKED: the SQL evaluates the identical edge_distances2
+    chain at the negated point coordinates (sign flips are exact) and
+    emits 4 - MIN — bit-identical by construction, and the hash match
+    proves the index also never over-prunes under the antipodal
+    distribution."""
+    from ..stages.closest_edge import (ClosestEdgeDistance,
+                                       broadcast_edges)
+    import ray.data as rd
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"]).to_pandas()
+    A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
+    ref = broadcast_edges(A, B)
+    return geo_points(sf_dir).map_batches(
+        ClosestEdgeDistance,
+        fn_constructor_kwargs={"edges_ref": ref, "furthest": True},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
 def geo_crossing_pairs(sf_dir):
     """S2CrossingEdgeQuery as a join: every (customer segment, chain
     edge) pair that PROPERLY crosses (CrossingType INTERIOR,
@@ -1076,6 +1105,7 @@ QUERIES = {
     "geo_nested_depths": geo_nested_depths,
     "geo_edge_distance": geo_edge_distance,
     "geo_closest_edge": geo_closest_edge,
+    "geo_furthest_edge": geo_furthest_edge,
     "geo_crossing_pairs": geo_crossing_pairs,
     "geo_cell_union_ops": geo_cell_union_ops,
     "geo_bbox_filter": geo_bbox_filter,
@@ -1322,8 +1352,15 @@ FROM f
 # closest edge: brute-force MIN in SQL over the same bit-exact
 # edge_distances2 chain as geo_edge_distance, vs best-first pruning in
 # the engine.  Every non-integer literal is CAST AS DOUBLE (bare
-# literals parse as DECIMAL and break IEEE identity).
-ORACLE["geo_closest_edge"] = f"""
+# literals parse as DECIMAL and break IEEE identity).  The furthest
+# variant evaluates the SAME chain at the ANTIPODE (component sign
+# flips are exact) and emits 4 - MIN (the chord identity
+# |p-x|^2 = 4 - |-p-x|^2; see stages/closest_edge.py).
+def _closest_edge_sql(furthest=False):
+    sign = "-" if furthest else ""
+    final = ("ROUND(4 - MIN(d2e), 12)" if furthest
+             else "ROUND(MIN(d2e), 12)")
+    return f"""
 WITH verts AS (
   SELECT n_nationkey, j,
     CAST((n_nationkey * 37) % 100 - 50.0 AS DOUBLE)
@@ -1347,9 +1384,9 @@ WITH verts AS (
     ON a.n_nationkey = b.n_nationkey AND b.j = a.j + 1
 ), pts AS (
   SELECT doc_id,
-    cos(radians(plat))*cos(radians(plon)) AS xx,
-    cos(radians(plat))*sin(radians(plon)) AS xy,
-    sin(radians(plat)) AS xz
+    {sign}(cos(radians(plat))*cos(radians(plon))) AS xx,
+    {sign}(cos(radians(plat))*sin(radians(plon))) AS xy,
+    {sign}(sin(radians(plat))) AS xz
   FROM (SELECT doc_id, {GEO_LAT_EXPR} AS plat, {GEO_LON_EXPR} AS plon
         FROM documents) raw
 ), d AS (
@@ -1386,8 +1423,12 @@ WITH verts AS (
       ELSE vertex_d2 END AS d2e
   FROM f
 )
-SELECT doc_id, ROUND(MIN(d2e), 12) AS d2 FROM per GROUP BY doc_id
+SELECT doc_id, {final} AS d2 FROM per GROUP BY doc_id
 """
+
+
+ORACLE["geo_closest_edge"] = _closest_edge_sql()
+ORACLE["geo_furthest_edge"] = _closest_edge_sql(furthest=True)
 
 # crossing pairs: proper (interior) crossing as float sign algebra —
 # p=(AxB).C, q=(AxB).D, r=(CxD).B, t=(CxD).A; crossing_sign > 0 iff

@@ -32,13 +32,23 @@ class ClosestEdgeDistance:
     index.  __call__ per batch: (doc_id, lat, lon) -> (doc_id, d2)
     where d2 is the squared chord distance to the nearest edge,
     rounded to 12 decimals half-AWAY from zero (DuckDB ROUND semantics;
-    d2 >= 0 so floor(x*1e12 + 0.5)/1e12 is exactly that)."""
+    d2 >= 0 so floor(x*1e12 + 0.5)/1e12 is exactly that).
 
-    def __init__(self, edges_ref, round_digits=12):
+    furthest=True computes the FURTHEST-edge distance
+    (S2FurthestEdgeQuery semantics, s2furthest_edge_query.d) through
+    the exact antipode identity: |p-x|^2 + |-p-x|^2 = 2|p|^2 + 2|x|^2
+    = 4 for unit vectors, so max over edge points x of |p-x|^2 =
+    4 - min over x of |-p-x|^2 — the same indexed closest-edge search
+    run at the antipode (negation and the 4-minus are single exact /
+    correctly-rounded float ops, so the replayed SQL stays
+    bit-identical)."""
+
+    def __init__(self, edges_ref, round_digits=12, furthest=False):
         from ..core.shapeindex import EdgeVectorIndex
         e = fetch(edges_ref)
         self.index = EdgeVectorIndex(e["a"], e["b"])
         self.scale = 10.0 ** round_digits
+        self.furthest = furthest
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..core import coords
@@ -46,8 +56,12 @@ class ClosestEdgeDistance:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         x, y, z = coords.latlng_to_xyz(lat, lon)
-        d2, _eid = self.index.closest_edge_batch(
-            np.stack([x, y, z], axis=1))
+        p = np.stack([x, y, z], axis=1)
+        if self.furthest:
+            d2, _eid = self.index.closest_edge_batch(-p)
+            d2 = 4.0 - d2
+        else:
+            d2, _eid = self.index.closest_edge_batch(p)
         return pa.table({
             "doc_id": pa.array(did.astype(np.int64), pa.int64()),
             "d2": pa.array(np.floor(d2 * self.scale + 0.5) / self.scale,

@@ -115,3 +115,28 @@ def test_polyline_chain_fixture_matches_sql_shape():
     brute = edge_distances2(pts, a, b).min(axis=1)
     d2, _ = idx.closest_edge_batch(pts)
     assert (d2 == brute).all()
+
+
+def test_furthest_identity_matches_brute_max():
+    # max over edge points x of |p-x|^2 == 4 - min |-p-x|^2 (unit
+    # vectors), and the indexed antipode path equals a dense sampled
+    # brute-force maximum to sampling tolerance.
+    from s2geometry_d_ray.core import coords
+
+    a, b = _random_edges(300, 21)
+    idx = EdgeVectorIndex(a, b)
+    pts = _random_points(40, 22)
+    d2c, _ = idx.closest_edge_batch(-pts)
+    furthest = 4.0 - d2c
+    # identity side: exact equality against the brute antipode min
+    brute_min = edge_distances2(-pts, a, b).min(axis=1)
+    assert (furthest == 4.0 - brute_min).all()
+    # semantics side: sampled max over edge points (coarse check)
+    t = np.linspace(0.0, 1.0, 33)[None, :, None]
+    samples = a[:, None, :] * (1 - t) + b[:, None, :] * t
+    samples /= np.linalg.norm(samples, axis=2, keepdims=True)
+    flat = samples.reshape(-1, 3)
+    d2s = ((pts[:, None, :] - flat[None, :, :]) ** 2).sum(axis=2)
+    sampled_max = d2s.max(axis=1)
+    assert (furthest >= sampled_max - 1e-9).all()
+    assert (furthest <= sampled_max + 1e-3).all()  # sampling gap
