@@ -91,7 +91,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     polys = make_polygons(n_polygons, seed=42)
     import ray as _ray
-    poly_index = _ray.put(build_polygon_index(polys))  # broadcast once
+    from s2geometry_d_ray.state.broadcast import broadcast as _bc
+    poly_index = _bc(build_polygon_index(polys))  # broadcast once
     index_sec = time.perf_counter() - t0
     timings["polygon_prep"] = round(index_sec, 3)
 

@@ -355,12 +355,14 @@ def intersects(a, b):
 
 def next_id(cell_id):
     cid = np.asarray(cell_id, dtype=np.uint64)
-    return cid + (lsb(cid) << _ONE)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        return cid + (lsb(cid) << _ONE)
 
 
 def prev_id(cell_id):
     cid = np.asarray(cell_id, dtype=np.uint64)
-    return cid - (lsb(cid) << _ONE)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        return cid - (lsb(cid) << _ONE)
 
 
 def advance(cell_id, steps):

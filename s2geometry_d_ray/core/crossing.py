@@ -40,7 +40,13 @@ def _edge_candidate_ids(index, a, b):
     # Half-angle via the chord (2*arcsin form): precise at tiny angles
     # where arccos(dot) loses ~sqrt(eps) absolutely.
     half = float(np.arcsin(min(1.0, 0.5 * np.linalg.norm(a - b))))
-    cap = Cap.from_center_angle(tuple(mid), half * 1.001 + 1e-12)
+    if nm == 0 or half >= np.pi / 2 - 1e-12:
+        # Antipodal (or near-antipodal) endpoints: the geodesic plane is
+        # ill-determined and the midpoint fallback does not bound the
+        # edge — make the query unprunable (same rule as
+        # shapeindex._closest_bucket_table).
+        half = np.pi
+    cap = Cap.from_center_angle(tuple(mid), min(np.pi, half * 1.001 + 1e-12))
     cov = RegionCoverer(max_cells=8).get_covering(cap)
     cov_min = ci.range_min(cov)
     cov_max = ci.range_max(cov)

@@ -80,13 +80,14 @@ class MutableShapeIndexSet:
         self._fresh = True
 
     # -- queries ----------------------------------------------------------
-    def containing_shapes(self, points):
-        """points: (m, 3) unit vectors -> list[np.ndarray of shape ids]
-        (sorted) containing each point.  Bound prefilter per shape, then
-        the shape's own bucket index on the surviving subset."""
+    def containing_pairs(self, points):
+        """points: (m, 3) unit vectors -> flat (point_idx, shape_id)
+        int64 arrays, lexsorted by (point_idx, shape_id).  This is the
+        vectorized primitive (per-shape bound prefilter, then the
+        shape's own bucket index on the surviving subset); consumers
+        build tables with counts+repeat, never a per-point loop."""
         self._apply_updates()
         p = np.atleast_2d(np.asarray(points, dtype=np.float64))
-        m = len(p)
         lat = np.degrees(np.arctan2(p[:, 2], np.hypot(p[:, 0], p[:, 1])))
         out_pt, out_sid = [], []
         ids, lat_lo, lat_hi = self._bounds if self._bounds is not None \
@@ -102,14 +103,25 @@ class MutableShapeIndexSet:
             hit = sel[inside]
             out_pt.append(hit)
             out_sid.append(np.full(len(hit), sid, dtype=np.int64))
-        result = [[] for _ in range(m)]
-        if out_pt:
-            for pt, sid in zip(np.concatenate(out_pt),
-                               np.concatenate(out_sid)):
-                result[int(pt)].append(int(sid))
-        return [np.array(sorted(r), dtype=np.int64) for r in result]
+        if not out_pt:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        pt = np.concatenate(out_pt).astype(np.int64)
+        sid = np.concatenate(out_sid)
+        order = np.lexsort((sid, pt))
+        return pt[order], sid[order]
+
+    def containing_shapes(self, points):
+        """points: (m, 3) unit vectors -> list[np.ndarray of shape ids]
+        (sorted) containing each point (compat wrapper over
+        containing_pairs)."""
+        p = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        pt, sid = self.containing_pairs(p)
+        counts = np.bincount(pt, minlength=len(p))
+        splits = np.cumsum(counts)[:-1]
+        return [a.astype(np.int64) for a in np.split(sid, splits)]
 
     def contains_points_any(self, points):
         """bool (m,): is each point inside at least one shape."""
-        hits = self.containing_shapes(points)
-        return np.array([len(h) > 0 for h in hits])
+        p = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        pt, _sid = self.containing_pairs(p)
+        return np.bincount(pt, minlength=len(p)) > 0

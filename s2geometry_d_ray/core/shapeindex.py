@@ -295,6 +295,10 @@ class PolygonShapeIndex:
         from .edge import edge_distances2, edge_distances2_pairwise
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
         n = len(pts)
+        if self.n_edges == 0:
+            # Empty index: match the indexed path's graceful no-result
+            # (argmin over a (n, 0) matrix would raise).
+            return np.full(n, np.inf), np.full(n, -1, dtype=np.int64)
         if self.n_edges <= self.MAX_BRUTE_FORCE_EDGES or not self.levels:
             # Chunk by PAIR budget: edge_distances2 is memory-bound and
             # ~3x faster when its (chunk, n_edges) planes stay in cache.
@@ -719,9 +723,12 @@ def _build_edge_buckets(self, max_edges_per_cell):
     # their caps intersect (triangle inequality on the sphere).
     mid = self.edge_a + self.edge_b
     nm = np.linalg.norm(mid, axis=1)
-    degen = nm < 1e-300  # antipodal endpoints: cap is a hemisphere
+    degen = nm < 1e-300  # antipodal endpoints: no bounding cap exists
     safe = np.where(degen[:, None], self.edge_a, mid)
     self.edge_mid = safe / np.linalg.norm(safe, axis=1, keepdims=True)
     half = np.arcsin(np.minimum(
         1.0, 0.5 * np.linalg.norm(self.edge_a - self.edge_b, axis=1)))
-    self.edge_half_ang = np.where(degen, np.pi / 2, half)
+    # pi (unprunable), not pi/2: the midpoint fallback direction is
+    # arbitrary for antipodal endpoints, so a hemisphere cap does not
+    # bound the edge (ADVICE r3; matches _closest_bucket_table).
+    self.edge_half_ang = np.where(degen, np.pi, half)

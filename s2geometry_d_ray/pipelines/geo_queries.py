@@ -387,8 +387,9 @@ def geo_pip_join(sf_dir):
     from ..stages.join import build_polygon_index, make_join_refine_fn
 
     polys = _pip_polygons()
+    from ..state.broadcast import broadcast
     index = build_polygon_index(polys, min_level=2, max_level=12)
-    ref = ray.put(index)
+    ref = broadcast(index)
     levels = tuple(range(2, 13))
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -437,8 +438,9 @@ def geo_complement(sf_dir):
     comps = [{"polygon_id": rec["polygon_id"],
               "polygon": initialize_to_complement(rec["polygon"])}
              for rec in _pip_polygons(8)]
+    from ..state.broadcast import broadcast
     index = build_polygon_index(comps, min_level=2, max_level=12)
-    ref = ray.put(index)
+    ref = broadcast(index)
     levels = tuple(range(2, 13))
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -492,11 +494,13 @@ def geo_mutable_pip(sf_dir):
         mset.remove(sid)
     for rec in polys[16:]:
         mset.add(rec["polygon"])
-    ref = ray.put(mset)  # adds still pending: actors run the lazy apply
+    from ..stages.sizing import auto_concurrency_range
+    from ..state.broadcast import broadcast, fetch
+    ref = broadcast(mset)  # adds still pending: actors run the lazy apply
 
     class MutablePip:
         def __init__(self, mset_ref):
-            self.mset = ray.get(mset_ref)
+            self.mset = fetch(mset_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             from ..core import coords
@@ -504,23 +508,18 @@ def geo_mutable_pip(sf_dir):
             lat = batch["lat"].to_numpy(zero_copy_only=False)
             lon = batch["lon"].to_numpy(zero_copy_only=False)
             x, y, z = coords.latlng_to_xyz(lat, lon)
-            hits = self.mset.containing_shapes(np.stack([x, y, z], 1))
-            docs, shapes = [], []
-            for i, h in enumerate(hits):
-                if len(h):
-                    docs.append(np.full(len(h), did[i], dtype=np.int64))
-                    shapes.append(h)
-            if not docs:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "shape_id": pa.array([], pa.int64())})
+            # Flat (point_idx, shape_id) pairs — no per-point loop
+            # (the stages/join.py counts+repeat flatten).
+            pt, sid = self.mset.containing_pairs(np.stack([x, y, z], 1))
             return pa.table({
-                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
-                "shape_id": pa.array(np.concatenate(shapes), pa.int64()),
+                "doc_id": pa.array(did[pt].astype(np.int64), pa.int64()),
+                "shape_id": pa.array(sid, pa.int64()),
             })
 
     return geo_points(sf_dir).map_batches(
         MutablePip, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=auto_concurrency_range(),
+        num_cpus=1)
 
 
 def geo_covering_tokens(sf_dir):
@@ -641,11 +640,13 @@ def geo_boolean_union(sf_dir):
     keys = _nation_keys(sf_dir)
     fx = _union_fixtures(keys)
     unions = {k: boolean_union(a, b) for k, (a, b) in fx.items()}
-    ref = ray.put(unions)
+    from ..stages.sizing import auto_concurrency_range
+    from ..state.broadcast import broadcast, fetch
+    ref = broadcast(unions)
 
     class Classify:
         def __init__(self):
-            self.unions = ray.get(ref)
+            self.unions = fetch(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -666,7 +667,7 @@ def geo_boolean_union(sf_dir):
 
     return geo_points(sf_dir).map_batches(
         Classify, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2)
+        concurrency=auto_concurrency_range())
 
 
 def geo_union_boundary(sf_dir):
@@ -775,11 +776,13 @@ def geo_simplify_in_cell(sf_dir):
         for c in rc.get_covering(polys[pid]).tolist():
             tasks.append({"polygon_id": int(pid),
                           "cell_id": int(np.uint64(c).astype(np.int64))})
-    polys_ref = ray.put(polys)  # broadcast once, read in each actor
+    from ..stages.sizing import auto_concurrency_range
+    from ..state.broadcast import broadcast, fetch
+    polys_ref = broadcast(polys)  # broadcast once, read in each actor
 
     class SimplifyInCell:
         def __init__(self):
-            self.polys = ray.get(polys_ref)
+            self.polys = fetch(polys_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             rows = []
@@ -811,7 +814,7 @@ def geo_simplify_in_cell(sf_dir):
 
     return rd.from_items(tasks).map_batches(
         SimplifyInCell, batch_format="pandas", batch_size=32,
-        concurrency=4)
+        concurrency=auto_concurrency_range())
 
 
 
@@ -1032,9 +1035,11 @@ def geo_closest_edge(sf_dir):
                           columns=["n_nationkey"]).to_pandas()
     A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
     ref = broadcast_edges(A, B)
+    from ..stages.sizing import auto_concurrency_range
     return geo_points(sf_dir).map_batches(
         ClosestEdgeDistance, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=auto_concurrency_range(),
+        num_cpus=1)
 
 
 def geo_furthest_edge(sf_dir):
@@ -1060,10 +1065,12 @@ def geo_furthest_edge(sf_dir):
                           columns=["n_nationkey"]).to_pandas()
     A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
     ref = broadcast_edges(A, B)
+    from ..stages.sizing import auto_concurrency_range
     return geo_points(sf_dir).map_batches(
         ClosestEdgeDistance,
         fn_constructor_kwargs={"edges_ref": ref, "furthest": True},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=auto_concurrency_range(),
+        num_cpus=1)
 
 
 def geo_crossing_pairs(sf_dir):
@@ -1094,9 +1101,11 @@ def geo_crossing_pairs(sf_dir):
                      "edge_j": edge_j})
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
+    from ..stages.sizing import auto_concurrency_range
     return cust.map_batches(
         CrossingPairs, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=auto_concurrency_range(),
+        num_cpus=1)
 
 
 QUERIES = {

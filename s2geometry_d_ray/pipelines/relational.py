@@ -175,8 +175,9 @@ def q5_nation_revenue(sf_dir):
     cust_df = _read(sf_dir, "customer",
                     ["c_custkey", "c_nationkey"]).to_pandas() \
         .sort_values("c_custkey")
-    cust_ref = ray.put((cust_df["c_custkey"].to_numpy(np.int64),
-                        cust_df["c_nationkey"].to_numpy(np.int64)))
+    from ..state.broadcast import broadcast, fetch
+    cust_ref = broadcast((cust_df["c_custkey"].to_numpy(np.int64),
+                          cust_df["c_nationkey"].to_numpy(np.int64)))
 
     def attach_nation(batch: pa.Table) -> pa.Table:
         """Broadcast-lookup stage as PLAIN TASKS with a per-worker
@@ -189,7 +190,8 @@ def q5_nation_revenue(sf_dir):
         semantics are unchanged."""
         arrs = _BCAST_CACHE.get(cust_ref.hex())
         if arrs is None:
-            arrs = ray.get(cust_ref)
+            _BCAST_CACHE.clear()  # bounded: one live broadcast per stage
+            arrs = fetch(cust_ref)
             _BCAST_CACHE[cust_ref.hex()] = arrs
         ckeys, cnat = arrs
         ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
@@ -332,8 +334,12 @@ def events_sessions(sf_dir, n_buckets=64):
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64).view(np.uint64)
-        b = ((uid * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(64 - 6)).astype(np.int64) % n_buckets
+        # Derive the shift from n_buckets so every bucket can populate
+        # (a fixed 6-bit shift silently capped it at 64 — ADVICE r3).
+        bits = max(1, int(np.ceil(np.log2(max(2, n_buckets)))))
+        with np.errstate(over="ignore"):
+            h = uid * np.uint64(0x9E3779B97F4A7C15)
+        b = (h >> np.uint64(64 - bits)).astype(np.int64) % n_buckets
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:

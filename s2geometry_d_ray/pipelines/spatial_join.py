@@ -53,15 +53,8 @@ def _auto_concurrency(requested=None):
     """Size the actor pool to leave CPUs for the producer stages — a pool
     that reserves every CPU starves the read/geocode stages and the
     pipeline stalls (ray_guide 'Stateful stages')."""
-    try:
-        import ray
-        total = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        total = 4
-    cap = max(1, total - 2)
-    if requested is None:
-        return cap
-    return max(1, min(requested, cap))
+    from ..stages.sizing import auto_concurrency
+    return auto_concurrency(requested)
 
 
 def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
@@ -82,14 +75,15 @@ def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
         index = build_polygon_index(polygons)
     try:
         import ray
-        is_ref = isinstance(index, ray.ObjectRef)
+        from ..state.broadcast import BroadcastRef
+        is_ref = isinstance(index, (ray.ObjectRef, BroadcastRef))
     except Exception:
         is_ref = False
     if is_ref:
-        # pre-broadcast by the caller (ray.put once per job)
+        # pre-broadcast by the caller (broadcast() once per job)
         ref = index
-        import ray
-        index = ray.get(ref)
+        from ..state.broadcast import fetch
+        index = fetch(ref)
     else:
         ref = broadcast(index)
     # Encode only the ancestor levels the covering index actually holds —

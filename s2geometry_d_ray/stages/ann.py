@@ -15,8 +15,20 @@ import pyarrow as pa
 
 from ..state.broadcast import fetch
 
-# Per-worker-process cache for task-based broadcast stages.
+# Per-worker-process cache for task-based broadcast stages.  Bounded:
+# a stage only ever uses one broadcast at a time, so inserting a new
+# key evicts the old entries (long-lived workers otherwise accumulate
+# one plasma-backed copy per distinct ref across queries — ADVICE r3).
 _TOPK_CACHE: dict = {}
+
+
+def cache_get_or_build(cache: dict, key, builder):
+    inst = cache.get(key)
+    if inst is None:
+        cache.clear()
+        inst = builder()
+        cache[key] = inst
+    return inst
 
 
 def _stack_embeddings(col):
@@ -71,7 +83,7 @@ class BruteForceTopK:
         })
 
 
-def ann_topk(embeddings_ds, query_ids, k=5, concurrency=2):
+def ann_topk(embeddings_ds, query_ids, k=5):
     """Full pipeline: broadcast queries -> partial top-k per batch ->
     global top-k per query (tiny final sort). Returns a pandas DataFrame
     (query_id, vec_id, rank) with rank 1..k by (score desc, vec_id asc)."""
@@ -94,15 +106,11 @@ def ann_topk(embeddings_ds, query_ids, k=5, concurrency=2):
     # zero-copy and cached per worker process), no reserved CPUs, no
     # actor spin-up on the critical path (the q5 deadlock lesson —
     # stages/join.py _INDEX_CACHE pattern).
-    del concurrency
 
     def topk_task(batch: pa.Table) -> pa.Table:
-        key = ref.hex() if hasattr(ref, "hex") else id(ref)
-        inst = _TOPK_CACHE.get(key)
-        if inst is None:
-            inst = BruteForceTopK(ref, k)
-            _TOPK_CACHE[key] = inst
-        return inst(batch)
+        key = (ref.hex() if hasattr(ref, "hex") else id(ref), k)
+        return cache_get_or_build(
+            _TOPK_CACHE, key, lambda: BruteForceTopK(ref, k))(batch)
 
     partials = embeddings_ds.map_batches(
         topk_task, batch_format="pyarrow", batch_size=4096).to_pandas()
@@ -176,7 +184,7 @@ class IntHyperplaneLSH:
 
 
 def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
-                        concurrency=2):
+                        concurrency=None):
     """Embedding-cosine near-dup pairs via LSH buckets + exact rerank.
 
     Returns pandas (vec_id_a, vec_id_b) with vec_id_a < vec_id_b and
@@ -189,9 +197,11 @@ def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
     first = embeddings_ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
 
+    from .sizing import auto_concurrency_range
     ds = embeddings_ds.map_batches(
         IntHyperplaneLSH, fn_constructor_args=(dim, n_planes),
-        batch_format="pyarrow", batch_size=8192, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=8192,
+        concurrency=auto_concurrency_range(concurrency))
 
     # Skew guard (VERDICT r1): a degenerate hash bucket would do an
     # O(n^2) rerank; cap the bucket and rely on the remaining planes.
@@ -310,7 +320,7 @@ class IVFTopK:
 
 
 def ivf_topk(embeddings_ds, query_ids, k=5, n_lists=16, nprobe=4,
-             sample_size=4096, concurrency=2):
+             sample_size=4096):
     """IVF approximate top-k: coarse-quantize on a sample, assign lists,
     probe the nprobe nearest lists per query.  nprobe == n_lists
     degenerates to exact brute force.  Returns pandas

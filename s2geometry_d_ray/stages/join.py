@@ -145,6 +145,7 @@ def make_join_refine_fn(index_ref, exact=True):
         key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
         inst = _INDEX_CACHE.get(key)
         if inst is None:
+            _INDEX_CACHE.clear()  # bounded: one live index per worker
             inst = JoinRefine(index_ref, exact)
             _INDEX_CACHE[key] = inst
         return inst(batch)

@@ -60,9 +60,8 @@ class PartitionKnn:
     materialization of the corpus anywhere."""
 
     def __init__(self, queries_ref, k=5):
-        import ray
-        q = ray.get(queries_ref) if hasattr(queries_ref, "hex") \
-            else queries_ref
+        from ..state.broadcast import fetch
+        q = fetch(queries_ref)
         self.qid = np.asarray(q["query_id"], dtype=np.int64)
         self.qxyz = np.asarray(q["xyz"], dtype=np.float64)
         self.k = k
@@ -93,14 +92,11 @@ def knn_partitioned(corpus_ds, query_ids, query_lat, query_lon, k=5,
     from ..core import coords
     x, y, z = coords.latlng_to_xyz(np.asarray(query_lat, np.float64),
                                    np.asarray(query_lon, np.float64))
-    qref = ray.put({"query_id": np.asarray(query_ids, np.int64),
-                    "xyz": np.stack([x, y, z], axis=1)})
-    if concurrency is None:
-        try:
-            concurrency = max(
-                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
-        except Exception:
-            concurrency = 2
+    from ..state.broadcast import broadcast
+    from .sizing import auto_concurrency_range
+    qref = broadcast({"query_id": np.asarray(query_ids, np.int64),
+                      "xyz": np.stack([x, y, z], axis=1)})
+    concurrency = auto_concurrency_range(concurrency)
     parts = corpus_ds.map_batches(
         PartitionKnn, fn_constructor_args=(qref, k),
         batch_format="pyarrow", batch_size=None, num_cpus=1,
@@ -117,14 +113,15 @@ def knn_partitioned(corpus_ds, query_ids, query_lat, query_lon, k=5,
                                                 batch_format="pandas")
 
 
-def knn_pipeline(points_table, queries_ds, k=5, concurrency=2):
+def knn_pipeline(points_table, queries_ds, k=5, concurrency=None):
     """points_table: dict with lat/lon/ids arrays (the index side, built
     once on the driver and broadcast); queries_ds: Dataset of
     (query_id, lat, lon)."""
     index = PointIndex.from_latlng(points_table["lat"], points_table["lon"],
                                    points_table.get("ids"))
+    from .sizing import auto_concurrency_range
     ref = broadcast(index)
     return queries_ds.map_batches(
         KnnActor, fn_constructor_args=(ref, k),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=auto_concurrency_range(concurrency), num_cpus=1)

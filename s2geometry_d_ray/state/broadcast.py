@@ -10,22 +10,46 @@ Usage:
             self.obj = fetch(ref)
 Works transparently when Ray is not initialised (plain passthrough) so the
 pure-python unit tests don't need a Ray session.
+
+broadcast() returns a BroadcastRef WRAPPER, not the raw ObjectRef: Ray
+resolves top-level ObjectRefs in `fn_constructor_args` by storing them in
+the object store, and a restartable actor (max_restarts > 0) whose
+constructor args were spilled can fail to restart (ray#53727 — the
+core_worker warning seen in BENCH_r03).  The wrapper hides the ref from
+that resolution; fetch() re-gets it lazily inside the worker (zero-copy
+from local Plasma).
 """
 
 from __future__ import annotations
+
+
+class BroadcastRef:
+    """Opaque holder for a ray.ObjectRef (see module docstring)."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def hex(self):
+        """Stable cache key (delegates to the ObjectRef hex)."""
+        return self.ref.hex()
 
 
 def broadcast(obj):
     try:
         import ray
         if ray.is_initialized():
-            return ray.put(obj)
+            return BroadcastRef(ray.put(obj))
     except Exception:
         pass
     return obj
 
 
 def fetch(ref):
+    if isinstance(ref, BroadcastRef):
+        import ray
+        return ray.get(ref.ref)
     try:
         import ray
         if isinstance(ref, ray.ObjectRef):
