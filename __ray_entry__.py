@@ -50,4 +50,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_geo.ORACLE)
     out.update(_rel.ORACLE)
     out.update(_td.ORACLE)
-    return out
+    # Some oracles are expensive to BUILD (they replay a fixture
+    # pipeline to emit literals) and are registered as callables so
+    # importing the pipeline modules stays cheap; resolve them here.
+    return {k: (v() if callable(v) else v) for k, v in out.items()}

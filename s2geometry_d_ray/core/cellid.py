@@ -388,7 +388,8 @@ def next_wrap(cell_id):
     cid = np.asarray(cell_id, dtype=np.uint64)
     n = next_id(cid)
     wrap = n >= (np.uint64(6) << np.uint64(POS_BITS))
-    return np.where(wrap, n - (np.uint64(6) << np.uint64(POS_BITS)), n)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        return np.where(wrap, n - (np.uint64(6) << np.uint64(POS_BITS)), n)
 
 
 def prev_wrap(cell_id):
@@ -396,7 +397,8 @@ def prev_wrap(cell_id):
     p = prev_id(cid)
     # prev of the first cell underflows past face 0.
     wrap = p >= (np.uint64(6) << np.uint64(POS_BITS))  # unsigned underflow
-    return np.where(wrap, p + (np.uint64(6) << np.uint64(POS_BITS)), p)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        return np.where(wrap, p + (np.uint64(6) << np.uint64(POS_BITS)), p)
 
 
 def distance_from_begin(cell_id):

@@ -284,3 +284,41 @@ def from_min_max(min_id, max_id):
     """Minimal normalized union covering leaf range [min_id, max_id]
     (s2cell_union.d fromMinMax)."""
     return from_begin_end(min_id, int(ci.next_id(np.uint64(max_id))))
+
+
+class CellUnionRegion:
+    """S2CellUnion as an S2Region (s2cell_union.d:430-470: contains/
+    mayIntersect(S2Cell) + getCapBound): the EXACT region protocol —
+    unlike polygon mayIntersect, the range-overlap test has no
+    conservative false positives, which is what makes flood-fill
+    coverings of a cell union SQL-oracle-replayable."""
+
+    def __init__(self, ids):
+        self.ids = np.sort(np.asarray(ids, dtype=np.uint64))
+
+    def may_intersect_cell(self, cell):
+        cid = np.uint64(cell.id if hasattr(cell, "id") else cell)
+        return bool(intersects_ids(self.ids, np.array([cid]))[0])
+
+    def contains_cell(self, cell):
+        cid = np.uint64(cell.id if hasattr(cell, "id") else cell)
+        return bool(contains_ids(self.ids, np.array([cid]))[0])
+
+    def get_cap_bound(self):
+        from .cap import Cap
+        from . import coords
+        if len(self.ids) == 0:
+            return Cap.empty()
+        # Conservative: centroid axis, max angle to member-cell cap
+        # bounds (s2cell_union.d getCapBound shape).
+        from .cell import Cell
+        caps = [Cell(int(c)).get_cap_bound() for c in self.ids.tolist()]
+        ctr = np.sum([np.asarray(c.center) for c in caps], axis=0)
+        n = np.linalg.norm(ctr)
+        ctr = np.array([1.0, 0.0, 0.0]) if n == 0 else ctr / n
+        ang = 0.0
+        for c in caps:
+            d = np.linalg.norm(np.asarray(c.center) - ctr)
+            ang = max(ang, 2 * np.arcsin(min(1.0, 0.5 * d))
+                      + c.radius_radians())
+        return Cap.from_center_angle(tuple(ctr), min(np.pi, ang))

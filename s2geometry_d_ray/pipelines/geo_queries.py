@@ -522,26 +522,60 @@ def geo_mutable_pip(sf_dir):
         num_cpus=1)
 
 
-def geo_covering_tokens(sf_dir):
-    """Deterministic polygon coverings as tokens.  Rows-only by genuine
-    necessity: getCovering is a priority-queue refinement over candidate
-    cells (expand-the-worst-candidate until max_cells, then fuse
-    siblings) whose decision chain depends on dynamic heap order — not
-    expressible as SQL over the inputs, unlike the replayable chains of
-    geo_simplify / geo_union_boundary.  Exactness oracles live in
-    tests/: determinism across processes, covering-contains-region, and
-    canonicalization invariants."""
-    from ..core.coverer import RegionCoverer
-    from ..sources.polygons import make_polygons
-    import pandas as pd
-    del sf_dir
-    rc = RegionCoverer(max_cells=8, min_level=10, max_level=16)
-    rows = []
-    for rec in make_polygons(30):
-        for c in rc.get_covering(rec["polygon"]).tolist():
-            rows.append((rec["polygon_id"],
-                         str(ci.to_token(np.uint64([c]))[0])))
-    return pd.DataFrame(rows, columns=["polygon_id", "token"])
+def geo_covering_tokens(sf_dir, n_regions=32, run_len=40,
+                        atom_level=14, cover_level=12):
+    """getSimpleCovering flood fill (s2region_coverer.d:315-346) as a
+    Dataset pipeline, ORACLE-CHECKED end to end.
+
+    Region r (one per document r < n_regions) is the Hilbert-contiguous
+    run of `run_len` level-14 cells starting at the level-14 ancestor
+    of doc r's point — an S2CellUnion region (core/cellunion.py
+    CellUnionRegion), whose mayIntersect(S2Cell) is the EXACT range-
+    overlap test with zero conservative slack.  Two facts make the
+    flood fill SQL-replayable: (1) consecutive same-level cells on the
+    S2 Hilbert curve are edge-adjacent (verified across all five face
+    transitions), so the run — and hence the set of its level-12
+    ancestors — is edge-connected and the fill must return EXACTLY the
+    distinct ancestors; (2) ancestor ids are pure HUGEINT arithmetic
+    over the geo_cell_encode leaf CTE.  Any traversal bug (missed
+    neighbor, bad wrap, broken dedup) under- or over-produces rows and
+    breaks the hash.  getCovering's heap-ordered refinement remains
+    rows-only by necessity and is pinned by pytest determinism/
+    containment/canonicalization invariants (tests/test_coverer*.py)."""
+    from ..core import coords
+    from ..core.cellunion import CellUnionRegion
+    from ..core.coverer import get_simple_covering
+
+    two_mk = 2 << (2 * (30 - atom_level))
+    end_id = 6 << 61
+
+    def covers(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        leaf = ci.cellid_from_latlng(lat, lon)
+        start = ci.parent(np.atleast_1d(leaf), atom_level)
+        x, y, z = coords.latlng_to_xyz(lat, lon)
+        out_d, out_t = [], []
+        # Per-REGION loop (regions are the dimension side; the point
+        # table never enters this query).
+        for r in range(len(did)):
+            s0 = int(start[r])
+            cells = [s0 + two_mk * t for t in range(run_len)]
+            region = CellUnionRegion(
+                np.array([c for c in cells if c < end_id], np.uint64))
+            cov = get_simple_covering(
+                region, (x[r], y[r], z[r]), cover_level)
+            toks = ci.to_token(np.asarray(cov, dtype=np.uint64))
+            out_d.extend([int(did[r])] * len(toks))
+            out_t.extend(str(t) for t in toks)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "token": pa.array(out_t, pa.string())})
+
+    seeds = geo_points(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], n_regions)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return seeds.map_batches(covers, batch_format="pyarrow")
 
 
 def s2_knn(sf_dir, k=5):
@@ -743,79 +777,143 @@ def geo_simplify(sf_dir):
     return pd.DataFrame(rows, columns=["n_nationkey", "n_in", "n_kept"])
 
 
-def geo_simplify_in_cell(sf_dir):
-    """Tiled per-cell simplification (s2polygon.d:960-992 use-case:
-    "geometry-processing pipelines that intersect polygons with a
-    collection of S2Cells and then process those cells in parallel"):
-    cover each polygon, clip it to every covering cell, then
-    initialize_to_simplified_in_cell keeps vertices on the cell
-    boundary pinned so neighbouring tiles still line up exactly.
-
-    Ray-Data shape: the (polygon x cell) task table is the Dataset;
-    polygons are broadcast once via ray.put and read per actor
-    (not re-shipped per batch); each tile is independent, so the stage
-    scales with cells, not polygon count.  Rows-only (boundary
-    construction is not SQL-expressible)."""
-    import pandas as pd
-    import ray
-    import ray.data as rd
+def _simplify_in_cell_tiles(keys):
+    """Build the per-nation simplified-in-cell tile set (the dimension
+    side): disc k (= _union_fixtures disc A, a convex 48-gon) is
+    covered, clipped to each covering cell, and simplified in-cell at
+    tol = 0.05 * MAX_DIAG(cell level).  Returns per-nation tiles with
+    the UNIT edge normals of the disc and of each cell, plus
+    sin(1.5*tol) guard literals — everything both the engine classifier
+    and the SQL oracle reason from."""
     from ..core.cell import Cell
     from ..core.coverer import RegionCoverer
     from ..core.loop import Loop
     from ..core.metrics import MAX_DIAG
     from ..core.polygon import Polygon
     from ..core.polygon_ops import (boolean_intersection,
-                                    initialize_to_simplified_in_cell,
-                                    polygon_area)
-    from ..sources.polygons import make_polygons
-    del sf_dir
-    polys = {r["polygon_id"]: r["polygon"] for r in make_polygons(24)}
-    rc = RegionCoverer(max_cells=12, min_level=8, max_level=12)
-    tasks = []
-    for pid in sorted(polys):
-        for c in rc.get_covering(polys[pid]).tolist():
-            tasks.append({"polygon_id": int(pid),
-                          "cell_id": int(np.uint64(c).astype(np.int64))})
+                                    initialize_to_simplified_in_cell)
+    import math
+    rc = RegionCoverer(max_cells=16, min_level=4, max_level=8)
+    out = {}
+    for k in keys:
+        disc = _union_fixtures([k])[int(k)][0]
+        v = disc.loops[0].vertices
+        dn = np.cross(v, np.roll(v, -1, axis=0))
+        dn = dn / np.linalg.norm(dn, axis=1, keepdims=True)
+        tiles = []
+        for c in rc.get_covering(disc).tolist():
+            cell = Cell(int(c))
+            cv = np.stack([np.asarray(cell.vertex(q)) for q in range(4)])
+            cn = np.cross(cv, np.roll(cv, -1, axis=0))
+            cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+            cellpoly = Polygon([Loop(cv)])
+            clipped = boolean_intersection(disc, cellpoly)
+            if clipped is None:
+                continue
+            tol = 0.05 * MAX_DIAG.get_value(cell.level)
+            simp = initialize_to_simplified_in_cell(clipped, cell, tol)
+            tiles.append({
+                "cell_id": int(c),
+                "token": str(ci.to_token(np.uint64([c]))[0]),
+                "cmin": int(ci.range_min(np.uint64(c))),
+                "cmax": int(ci.range_max(np.uint64(c))),
+                "cell_normals": cn,
+                "sin_guard": math.sin(1.5 * tol),
+                "simp": simp,
+            })
+        out[int(k)] = {"disc_normals": dn, "tiles": tiles}
+    return out
+
+
+def geo_simplify_in_cell(sf_dir):
+    """Tiled per-cell simplification (s2polygon.d:960-992 use-case:
+    "geometry-processing pipelines that intersect polygons with a
+    collection of S2Cells and then process those cells in parallel"):
+    cover each fixture disc, clip it to every covering cell, simplify
+    each tile with initialize_to_simplified_in_cell (cell-boundary
+    vertices pinned), then classify the doc-point stream against the
+    CONSTRUCTED tiles with the exact crossing-parity PIP.
+
+    ORACLE-CHECKED pointwise (the geo_boolean_union margin-guard
+    precedent): simplification moves the clipped boundary by at most
+    tol, and the clipped boundary is a subset of (disc boundary) union
+    (cell boundary) — so for any point farther than 1.5*tol from BOTH
+    (the guard), membership in the simplified tile must equal the
+    ANALYTIC membership in disc-intersect-cell, which SQL decides from
+    literals alone: leaf cid within the cell's [range_min, range_max]
+    (pure HUGEINT; bit-identical via the geo_cell_encode CTE) and
+    hemisphere determinants of the disc's 48 unit edge normals.  The
+    guard is the same min|dot| > sin(1.5*tol) expression on both sides
+    (distance-to-great-circle underestimates distance-to-boundary for
+    convex regions, so exclusion is conservative), with identical
+    normal/sin literals shipped to SQL.  Any simplification bug that
+    moves the boundary past tol, drops a tile, or breaks PIP parity
+    flips a guarded row and breaks the hash.  The n_in/n_out vertex
+    decision chain itself stays pinned by the ported reference tests
+    (tests/test_polygon_operations.py)."""
+    from ..core import coords
     from ..stages.sizing import auto_concurrency_range
     from ..state.broadcast import broadcast, fetch
-    polys_ref = broadcast(polys)  # broadcast once, read in each actor
 
-    class SimplifyInCell:
-        def __init__(self):
-            self.polys = fetch(polys_ref)
+    keys = _nation_keys(sf_dir)
+    ref = broadcast(_simplify_in_cell_tiles(keys))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for pid, cid in zip(batch["polygon_id"].tolist(),
-                                batch["cell_id"].tolist()):
-                poly = self.polys[pid]
-                cid = int(np.int64(cid).astype(np.uint64))
-                cell = Cell(cid)
-                cellpoly = Polygon([Loop(np.stack(
-                    [np.asarray(cell.vertex(k)) for k in range(4)]))])
-                clipped = boolean_intersection(poly, cellpoly)
-                if clipped is None:
-                    continue
-                tol = 0.05 * MAX_DIAG.get_value(cell.level)
-                simp = initialize_to_simplified_in_cell(clipped, cell,
-                                                        tol)
-                n_in = sum(len(lp.vertices) for lp in clipped.loops)
-                n_out = 0 if simp is None else \
-                    sum(len(lp.vertices) for lp in simp.loops)
-                area_out = 0.0 if simp is None else polygon_area(simp)
-                rows.append((pid,
-                             str(ci.to_token(np.uint64([cid]))[0]),
-                             n_in, n_out,
-                             int(round(polygon_area(clipped) * 1e15)),
-                             int(round(area_out * 1e15))))
-            return pd.DataFrame(rows, columns=[
-                "polygon_id", "token", "n_in", "n_out",
-                "area_in_e15", "area_out_e15"])
+    class ClassifyTiles:
+        def __init__(self, tiles_ref):
+            self.nations = fetch(tiles_ref)
 
-    return rd.from_items(tasks).map_batches(
-        SimplifyInCell, batch_format="pandas", batch_size=32,
-        concurrency=auto_concurrency_range())
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            x, y, z = coords.latlng_to_xyz(lat, lon)
+            pts = np.stack([x, y, z], axis=1)
+            leaf = ci.cellid_from_latlng(lat, lon)
+            out_k, out_d, out_t = [], [], []
+            for k, rec in self.nations.items():
+                dn = rec["disc_normals"]
+                for tile in rec["tiles"]:
+                    sel = np.nonzero(
+                        (leaf >= np.uint64(tile["cmin"]))
+                        & (leaf <= np.uint64(tile["cmax"])))[0]
+                    if not len(sel):
+                        continue
+                    px, py, pz = x[sel], y[sel], z[sel]
+                    # Same 3-term dot association as the SQL replay.
+                    cn = tile["cell_normals"]
+                    cd = np.stack([cn[q, 0] * px + cn[q, 1] * py
+                                   + cn[q, 2] * pz for q in range(4)])
+                    dd = np.stack([dn[q, 0] * px + dn[q, 1] * py
+                                   + dn[q, 2] * pz
+                                   for q in range(len(dn))])
+                    g = tile["sin_guard"]
+                    guard = (np.min(np.abs(cd), axis=0) > g) \
+                        & (np.min(np.abs(dd), axis=0) > g)
+                    if not guard.any():
+                        continue
+                    cand = sel[guard]
+                    simp = tile["simp"]
+                    if simp is None:
+                        continue
+                    ins = simp.contains_points(pts[cand])
+                    hit = cand[ins]
+                    out_k.append(np.full(len(hit), int(k), np.int64))
+                    out_d.append(did[hit].astype(np.int64))
+                    out_t.extend([tile["token"]] * len(hit))
+            if not out_k:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "token": pa.array([], pa.string())})
+            return pa.table({
+                "n_nationkey": pa.array(np.concatenate(out_k), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "token": pa.array(out_t, pa.string()),
+            })
 
+    return geo_points(sf_dir).map_batches(
+        ClassifyTiles, fn_constructor_args=(ref,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=auto_concurrency_range(), num_cpus=1)
 
 
 def geo_radius_join(sf_dir, radius_km=800.0):
@@ -1998,6 +2096,94 @@ SELECT doc_id,
   {_parent_token_expr(16)} AS token_l16
 FROM fin
 """
+
+
+def _covering_tokens_sql(n_regions=32, run_len=40, atom_level=14,
+                         cover_level=12) -> str:
+    """geo_covering_tokens oracle: the flood-fill result over a
+    Hilbert-contiguous level-14 run is EXACTLY the distinct level-12
+    ancestors of the run cells (see geo_covering_tokens docstring for
+    the connectivity + exact-predicate argument) — pure HUGEINT
+    parent/advance arithmetic over the leaf-geocode CTE."""
+    mk = 1 << (2 * (30 - atom_level))
+    ml = 1 << (2 * (30 - cover_level))
+    return _cell_encode_sql() + f""",
+runs AS (
+  SELECT doc_id, cid - (cid % {2 * mk}) + {mk} + t.t * {2 * mk} AS c
+  FROM fin, range({run_len}) AS t(t)
+  WHERE doc_id < {n_regions}
+), parents AS (
+  SELECT DISTINCT doc_id, c - (c % {2 * ml}) + {ml} AS p
+  FROM runs WHERE c < CAST('{6 * 2 ** 61}' AS HUGEINT)
+)
+SELECT doc_id,
+  rtrim(lower(lpad(to_hex(CAST(p AS UBIGINT)), 16, '0')), '0') AS token
+FROM parents
+"""
+
+
+ORACLE["geo_covering_tokens"] = _covering_tokens_sql()
+
+
+def _simplify_in_cell_sql() -> str:
+    """geo_simplify_in_cell oracle: guarded pointwise membership in
+    disc-intersect-cell from literals alone (see the query docstring
+    for the tol/guard soundness argument).  Cell membership is HUGEINT
+    range containment over the geo_cell_encode leaf CTE; disc
+    membership is the convex hemisphere-determinant min; both guards
+    are the identical min|unit-normal dot| > sin(1.5*tol) expression
+    with normals and sin literals shipped from the fixture builder."""
+    tiles = _simplify_in_cell_tiles(range(25))
+    cells_rows, cedge_rows, dedge_rows = [], [], []
+    D = "CAST(%s AS DOUBLE)"
+    for k, rec in tiles.items():
+        dn = rec["disc_normals"]
+        for q in range(len(dn)):
+            dedge_rows.append("(%d,%s,%s,%s)" % (
+                k, D % repr(dn[q, 0]), D % repr(dn[q, 1]),
+                D % repr(dn[q, 2])))
+        for t in rec["tiles"]:
+            cells_rows.append(
+                "(%d,'%s',CAST('%d' AS HUGEINT),CAST('%d' AS HUGEINT),%s)"
+                % (k, t["token"], t["cmin"], t["cmax"],
+                   D % repr(t["sin_guard"])))
+            cn = t["cell_normals"]
+            for q in range(4):
+                cedge_rows.append("(%d,'%s',%s,%s,%s)" % (
+                    k, t["token"], D % repr(cn[q, 0]),
+                    D % repr(cn[q, 1]), D % repr(cn[q, 2])))
+    return _cell_encode_sql() + f""",
+cells(nkey, token, cmin, cmax, sing) AS (VALUES {",".join(cells_rows)}),
+cedges(nkey, token, nx, ny, nz) AS (VALUES {",".join(cedge_rows)}),
+dedges(nkey, nx, ny, nz) AS (VALUES {",".join(dedge_rows)}),
+pc AS (
+  SELECT f.doc_id, f.cid, x.x AS px, x.y AS py, x.z AS pz
+  FROM fin f JOIN xyz x ON x.doc_id = f.doc_id
+),
+incell AS (
+  SELECT p.doc_id, c.nkey, c.token, c.sing, p.px, p.py, p.pz
+  FROM pc p
+  JOIN cells c ON p.cid >= c.cmin AND p.cid <= c.cmax
+  JOIN nation n ON n.n_nationkey = c.nkey
+),
+cguard AS (
+  SELECT i.doc_id, i.nkey, i.token, i.sing, i.px, i.py, i.pz
+  FROM incell i JOIN cedges e ON e.nkey = i.nkey AND e.token = i.token
+  GROUP BY i.doc_id, i.nkey, i.token, i.sing, i.px, i.py, i.pz
+  HAVING min(abs(e.nx * i.px + e.ny * i.py + e.nz * i.pz)) > i.sing
+)
+SELECT CAST(g.nkey AS BIGINT) AS n_nationkey, g.doc_id, g.token
+FROM cguard g JOIN dedges d ON d.nkey = g.nkey
+GROUP BY g.nkey, g.doc_id, g.token, g.sing
+HAVING min(d.nx * g.px + d.ny * g.py + d.nz * g.pz) > 0
+   AND min(abs(d.nx * g.px + d.ny * g.py + d.nz * g.pz)) > g.sing
+"""
+
+
+# Lazy: building this oracle runs the full tile pipeline (covering +
+# clip + simplify per tile); resolving at import time would tax every
+# pytest/bench session.  __ray_entry__.oracle_sql() calls it.
+ORACLE["geo_simplify_in_cell"] = _simplify_in_cell_sql
 
 def _union_ops_sql() -> str:
     """Canonical-normalized cell-union algebra as pure set + HUGEINT
