@@ -25,6 +25,7 @@ import time
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    loadavg_pre = os.getloadavg()  # host noise stamp (co-tenant steal)
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -70,7 +71,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # (128 MiB block target) and the scan can't parallelize; 4 blocks
         # per CPU smooths the wave tail (62 blocks on 32 CPUs = 2 ragged
         # waves; ~128 blocks = 4 smooth ones).
-        return rd.read_parquet(pages_path, columns=["url", "text", "lang"],
+        # url+text only: `lang` never reaches any stage (select_columns
+        # would drop it anyway, but pruning at the READ keeps it from
+        # ever leaving storage).
+        return rd.read_parquet(pages_path, columns=["url", "text"],
                                override_num_blocks=max(64, 4 * num_cpus))
 
     # Warm: one full-width untimed pass — spins up every map worker
@@ -129,6 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "n_pages": n_pages, "n_polygons": n_polygons,
             "n_join_rows": int(n_join_rows),
             "pages_per_sec": round(n_pages / headline, 1),
+            "loadavg_pre": [round(v, 2) for v in loadavg_pre],
+            "loadavg_post": [round(v, 2) for v in os.getloadavg()],
         }
         ray.shutdown()
         return result
@@ -168,6 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_join_rows": int(n_join_rows),
         "n_tiles": int(n_tiles),
         "pages_per_sec": round(n_pages / timings["spatial_join"], 1),
+        "loadavg_pre": [round(v, 2) for v in loadavg_pre],
+        "loadavg_post": [round(v, 2) for v in os.getloadavg()],
     }
     ray.shutdown()
     return result
@@ -214,6 +222,9 @@ def main():
             "n_pages": lo["n_pages"],
             "scaling_efficiency": round(eff, 3),
             "sf": sf_dir,
+            "loadavg_runs": {
+                f"cpus_{n_lo}": [r.get("loadavg_pre") for r in lo_runs],
+                f"cpus_{n_hi}": [r.get("loadavg_pre") for r in hi_runs]},
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

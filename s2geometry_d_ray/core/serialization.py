@@ -186,3 +186,304 @@ class IdSetLexicon:
 
     def clear(self):
         self._sets.clear()
+
+
+# ---------------------------------------------------------------------------
+# Compressed polygon codec — the public C++ S2 wire format, version 4
+# (s2polygon.cc EncodeCompressed, s2loop.cc EncodeCompressed,
+# s2point_compression.cc).  The reference D port left this as a TODO
+# (s2polygon.d:1594-1599) with its tests commented out
+# (test/s2/s2polygon_test.d:2059-2118); the byte-size goldens stated in
+# those tests — 3 bytes for a snapped empty polygon, 69 bytes
+# (1+1+1 + 2*5 + 7*8) for the two-loop snapped fixture — pin this
+# implementation to the C++ sizes.
+# ---------------------------------------------------------------------------
+
+_COMPRESSED_VERSION = 4
+_LOSSLESS_VERSION = 1
+# Derivative order 1 (plain per-coordinate deltas): the order that
+# reproduces the 69-byte golden stated in the reference's commented
+# test (1+1+1 + 2*5 + 7*8 for the two-loop snapped fixture,
+# test/s2/s2polygon_test.d:2074-2093); order 2 yields 71 bytes for the
+# same fixture.
+_DERIVATIVE_ORDER = 1
+_MIN_VERTICES_FOR_BOUND = 64   # GetCompressedEncodingProperties rule
+
+
+def _varint_encode(n: int) -> bytes:
+    out = bytearray()
+    n = int(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint_decode(buf: bytes, off: int):
+    shift = 0
+    val = 0
+    while True:
+        b = buf[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return val, off
+        shift += 7
+
+
+def _zigzag32(n: int) -> int:
+    n = ((n + 0x80000000) & 0xFFFFFFFF) - 0x80000000  # int32 view
+    return ((n << 1) ^ (n >> 31)) & 0xFFFFFFFF
+
+
+def _unzigzag32(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def _interleave32(a: int, b: int) -> int:
+    """Bits of `a` at even positions, `b` at odd (util/bits
+    InterleaveUint32 convention)."""
+    def spread(x):
+        x &= 0xFFFFFFFF
+        x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+        x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+        x = (x | (x << 2)) & 0x3333333333333333
+        x = (x | (x << 1)) & 0x5555555555555555
+        return x
+    return spread(a) | (spread(b) << 1)
+
+
+def _deinterleave32(x: int):
+    def squash(v):
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+        return v
+    return squash(x), squash(x >> 1)
+
+
+def _int32(v: int) -> int:
+    return ((int(v) + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
+class _NthDerivativeCoder:
+    """util/coding NthDerivativeCoder: order-n finite differences with
+    int32 wraparound; encode/decode are exact inverses."""
+
+    def __init__(self, n=_DERIVATIVE_ORDER):
+        self.n = n
+        self.memory = [0] * n
+
+    def encode(self, k: int) -> int:
+        for i in range(self.n):
+            delta = _int32(k - self.memory[i])
+            self.memory[i] = k
+            k = delta
+        return k
+
+    def decode(self, k: int) -> int:
+        for i in range(self.n - 1, -1, -1):
+            self.memory[i] = _int32(self.memory[i] + k)
+            k = self.memory[i]
+        return k
+
+
+def _si_ti_to_pi_qi(si: int, level: int) -> int:
+    si = min(int(si), (1 << 31) - 1)  # clamp kMaxSiTi
+    return si >> (30 + 1 - level)
+
+
+def _pi_qi_to_si_ti(pi: int, level: int) -> int:
+    return (pi << (30 + 1 - level)) + (1 << (30 - level))
+
+
+def _xyz_face_si_ti(vertices):
+    """Per-vertex (face, si, ti, cell_level, xyz) records
+    (S2XYZFaceSiTi; s2loop getXYZFaceSiTiVertices)."""
+    from . import coords
+    out = []
+    for v in np.asarray(vertices, dtype=np.float64):
+        level, face, si, ti = coords.xyz_to_face_si_ti(v)
+        out.append((int(face), int(si), int(ti), int(level), v))
+    return out
+
+
+def _encode_faces(records, parts):
+    """Run-length face encoding: varint64(6*count + face) per run."""
+    run_face, run_count = None, 0
+    for face, *_ in records:
+        if face == run_face:
+            run_count += 1
+        else:
+            if run_count:
+                parts.append(_varint_encode(6 * run_count + run_face))
+            run_face, run_count = face, 1
+    if run_count:
+        parts.append(_varint_encode(6 * run_count + run_face))
+
+
+def _decode_faces(buf, off, n):
+    faces = []
+    while len(faces) < n:
+        v, off = _varint_decode(buf, off)
+        count, face = v // 6, v % 6
+        faces.extend([face] * count)
+    return faces, off
+
+
+def _encode_points_compressed(records, level, parts):
+    """s2point_compression.cc S2EncodePointsCompressed."""
+    pi_qi = [(_si_ti_to_pi_qi(si, level), _si_ti_to_pi_qi(ti, level))
+             for _f, si, ti, _lvl, _v in records]
+    off_center = [i for i, r in enumerate(records) if r[3] != level]
+    _encode_faces(records, parts)
+    pi_coder = _NthDerivativeCoder()
+    qi_coder = _NthDerivativeCoder()
+    for i, (pi, qi) in enumerate(pi_qi):
+        if i == 0:
+            # First point fixed-length, not zigzagged (cannot be
+            # negative): interleave(pi, qi) in (level+7)//8*2 bytes LE.
+            nbytes = (level + 7) // 8 * 2
+            parts.append(_interleave32(pi, qi).to_bytes(nbytes, "little"))
+            pi_coder.encode(pi)
+            qi_coder.encode(qi)
+        else:
+            dp = _zigzag32(pi_coder.encode(pi))
+            dq = _zigzag32(qi_coder.encode(qi))
+            parts.append(_varint_encode(_interleave32(dp, dq)))
+    parts.append(_varint_encode(len(off_center)))
+    for i in off_center:
+        parts.append(_varint_encode(i))
+        parts.append(np.ascontiguousarray(records[i][4],
+                                          dtype="<f8").tobytes())
+
+
+def _decode_points_compressed(buf, off, n, level):
+    from . import coords
+    faces, off = _decode_faces(buf, off, n)
+    nbytes = (level + 7) // 8 * 2
+    first = int.from_bytes(buf[off:off + nbytes], "little")
+    off += nbytes
+    pi0, qi0 = _deinterleave32(first)
+    pi_coder = _NthDerivativeCoder()
+    qi_coder = _NthDerivativeCoder()
+    pi_coder.encode(pi0)
+    qi_coder.encode(qi0)
+    pts = np.empty((n, 3), dtype=np.float64)
+
+    def center(face, pi, qi):
+        si = _pi_qi_to_si_ti(pi, level)
+        ti = _pi_qi_to_si_ti(qi, level)
+        x, y, z = coords.face_si_ti_to_xyz(
+            np.int64([face]), np.uint64([si]), np.uint64([ti]))
+        x, y, z = coords.normalize_xyz(x, y, z)
+        return np.array([x[0], y[0], z[0]])
+
+    pts[0] = center(faces[0], pi0, qi0)
+    for i in range(1, n):
+        v, off = _varint_decode(buf, off)
+        zp, zq = _deinterleave32(v)
+        pi = pi_coder.decode(_unzigzag32(zp))
+        qi = qi_coder.decode(_unzigzag32(zq))
+        pts[i] = center(faces[i], pi, qi)
+    n_off, off = _varint_decode(buf, off)
+    for _ in range(n_off):
+        idx, off = _varint_decode(buf, off)
+        pts[idx] = np.frombuffer(buf, dtype="<f8", count=3, offset=off)
+        off += 24
+    return pts, off
+
+
+def _encode_loop_compressed(loop, records, level, parts):
+    """s2loop.cc EncodeCompressed: varint num_vertices, compressed
+    points, properties varint (bit0 origin_inside, bit1 bound), depth
+    varint, optional bound."""
+    n = len(loop.vertices)
+    parts.append(_varint_encode(n))
+    _encode_points_compressed(records, level, parts)
+    props = (1 if loop.origin_inside else 0)
+    encode_bound = n >= _MIN_VERTICES_FOR_BOUND
+    if encode_bound:
+        props |= 2
+    parts.append(_varint_encode(props))
+    parts.append(_varint_encode(loop.depth))
+    if encode_bound:
+        b = loop.bound
+        parts.append(struct.pack("<B4d", 1, b.lat_lo, b.lat_hi,
+                                 b.lng.lo, b.lng.hi))
+
+
+def encode_polygon_compressed(poly, snap_level=None) -> bytes:
+    """C++ version-4 compressed polygon encoding.  snap_level defaults
+    to the level holding the most snapped vertices (the s2polygon.cc
+    Encode histogram rule).  `poly=None` encodes the EMPTY polygon
+    (3 bytes at level 30 — the snapped-empty golden)."""
+    if poly is None:
+        return struct.pack("<BB", _COMPRESSED_VERSION,
+                           30 if snap_level is None else snap_level) \
+            + _varint_encode(0)
+    all_records = [_xyz_face_si_ti(lp.vertices) for lp in poly.loops]
+    if snap_level is None:
+        hist = np.zeros(32, dtype=np.int64)  # [0]=unsnapped, [i]=level i-1
+        for recs in all_records:
+            for _f, _si, _ti, lvl, _v in recs:
+                hist[lvl + 1] += 1
+        snap_level = int(np.argmax(hist[1:]))
+    parts = [struct.pack("<BB", _COMPRESSED_VERSION, snap_level),
+             _varint_encode(len(poly.loops))]
+    for lp, recs in zip(poly.loops, all_records):
+        _encode_loop_compressed(lp, recs, snap_level, parts)
+    return b"".join(parts)
+
+
+def decode_polygon_compressed(blob: bytes):
+    from .loop import Loop
+    from .polygon import Polygon
+    ver, level = struct.unpack_from("<BB", blob, 0)
+    assert ver == _COMPRESSED_VERSION
+    n_loops, off = _varint_decode(blob, 2)
+    if n_loops == 0:
+        return None  # the empty polygon
+    loops = []
+    for _ in range(n_loops):
+        n, off = _varint_decode(blob, off)
+        pts, off = _decode_points_compressed(blob, off, n, level)
+        props, off = _varint_decode(blob, off)
+        depth, off = _varint_decode(blob, off)
+        if props & 2:
+            off += struct.calcsize("<B4d")  # bound is recomputable
+        loops.append(Loop(pts, depth=depth))
+    return Polygon(loops)
+
+
+def encode_polygon_auto(poly) -> bytes:
+    """The s2polygon.cc Encode() size heuristic: compressed when
+    ~4 bytes/vertex + 26/unsnapped beats 24 bytes/vertex lossless."""
+    all_records = [_xyz_face_si_ti(lp.vertices) for lp in poly.loops]
+    hist = np.zeros(32, dtype=np.int64)
+    nv = 0
+    for recs in all_records:
+        for _f, _si, _ti, lvl, _v in recs:
+            hist[lvl + 1] += 1
+            nv += 1
+    snap_level = int(np.argmax(hist[1:]))
+    num_snapped = int(hist[snap_level + 1])
+    compressed_size = 4 * nv + 26 * (nv - num_snapped)
+    lossless_size = 24 * nv
+    if compressed_size < lossless_size:
+        return encode_polygon_compressed(poly, snap_level)
+    return encode_polygon(poly)
+
+
+def decode_polygon_auto(blob: bytes):
+    if blob[0] == _COMPRESSED_VERSION:
+        return decode_polygon_compressed(blob)
+    return decode_polygon(blob)

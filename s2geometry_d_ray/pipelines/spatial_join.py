@@ -31,20 +31,27 @@ PAGE_COLUMNS = ["url", "text", "lang"]  # html projected out early
 
 
 def geocoded_pages(pages_ds, levels=tuple(range(10, 17)), with_token=False,
-                   keep=PAGE_COLUMNS):
+                   keep=PAGE_COLUMNS, drop=()):
     """pages Dataset -> geocoded + cell-encoded Dataset (misses dropped).
 
     with_token=False by default: hex tokens are a formatting output (the
     tiles sink adds them); the join path never needs them and token
     formatting is the one per-row-Python step in the chain. `keep` prunes
-    pass-through columns (the join only carries url + text)."""
+    pass-through columns at the INPUT; `drop` prunes columns that the
+    parse consumed and nothing downstream needs (e.g. `text` — hundreds
+    of bytes/page that otherwise ride through every later stage; the
+    single biggest bytes-in-flight lever at 100 TB)."""
     from ..stages.geocode import encode_cells, parse_latlon
+
+    def kernel(b):
+        b = encode_cells(parse_latlon(b), levels, with_token=with_token)
+        dead = [c for c in drop if c in b.column_names]
+        return b.drop_columns(dead) if dead else b
+
     cols = [c for c in keep if c in pages_ds.schema().names]
     ds = pages_ds.select_columns(cols)
-    ds = ds.map_batches(
-        lambda b: encode_cells(parse_latlon(b), levels,
-                               with_token=with_token),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+    ds = ds.map_batches(kernel, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=65536)
     return ds.map_batches(drop_misses, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -86,10 +93,12 @@ def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
         index = fetch(ref)
     else:
         ref = broadcast(index)
-    # Encode only the ancestor levels the covering index actually holds —
-    # fewer uint64 columns through the pipe.
-    levels = tuple(sorted(index["levels"])) or (12,)
-    ds = geocoded_pages(pages_ds, levels=levels, keep=("url", "text"))
+    # Materialize NO ancestor columns: JoinRefine derives cell_l{k}
+    # from the leaf id per batch (parent() is 3 ALU ops/row) — cheaper
+    # than writing + re-reading levels x 8 bytes/page through the pipe.
+    # `text` is dead after the parse and is dropped there too.
+    ds = geocoded_pages(pages_ds, levels=(), keep=("url", "text"),
+                        drop=("text",))
     if use_actors:
         joined = ds.map_batches(JoinRefine, fn_constructor_args=(ref, exact),
                                 batch_format="pyarrow", batch_size=65536,
@@ -109,10 +118,11 @@ def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
 
 def tiles(pages_ds, level=12):
     """Tile assignment: (url, tile_id, token) at the given level."""
-    ds = geocoded_pages(pages_ds, levels=(level,))
+    ds = geocoded_pages(pages_ds, levels=(), drop=("text",))
 
     def project(batch: pa.Table) -> pa.Table:
-        tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False)
+        tile = ci.parent(leaf, level)
         tok = ci.to_token(tile)
         return pa.table({
             "url": batch["url"],
@@ -141,7 +151,8 @@ def tile_counts(pages_ds, level=12, shuffle=None):
     lower and the fold is O(distinct)); shuffle from level 13 up."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        tile = batch[f"cell_l{level}"].to_numpy(zero_copy_only=False)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False)
+        tile = ci.parent(leaf, level)
         u, c = np.unique(tile, return_counts=True)
         # int64 bit-view: uint64 keys above 2^63 fall back to pickled
         # Python objects inside Ray's shuffle (slow) — the view is
@@ -149,7 +160,7 @@ def tile_counts(pages_ds, level=12, shuffle=None):
         return pa.table({"tile_id": pa.array(u.view(np.int64), pa.int64()),
                          "partial_count": pa.array(c, pa.int64())})
 
-    ds = geocoded_pages(pages_ds, levels=(level,))
+    ds = geocoded_pages(pages_ds, levels=(), drop=("text",))
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     if shuffle is None:

@@ -167,13 +167,23 @@ class JoinRefine:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lvls = self.index["levels"]
         urls = batch["url"]
+        leaf_all = batch["cell_id"].to_numpy(zero_copy_only=False)
         out_url = []
         out_pid = []
         out_cell = []
         out_interior = []
         out_rowidx = []
         for lvl, idx in lvls.items():
-            col = batch[f"cell_l{lvl}"].to_numpy(zero_copy_only=False)
+            name = f"cell_l{lvl}"
+            if name in batch.column_names:
+                col = batch[name].to_numpy(zero_copy_only=False)
+            else:
+                # Derive the ancestor from the leaf on the fly: 3 ALU
+                # ops/row beats hauling one more uint64 column through
+                # the pipe (parent(0) would be a VALID id, so re-mask
+                # the miss sentinel).
+                col = ci.parent(leaf_all, lvl)
+                col[leaf_all == 0] = 0
             pos = np.searchsorted(idx["ucells"], col)
             pos_c = np.minimum(pos, len(idx["ucells"]) - 1)
             hit = (idx["ucells"][pos_c] == col) & (col != 0)
@@ -202,7 +212,7 @@ class JoinRefine:
         rowidx = np.concatenate(out_rowidx).astype(np.int64)
         pid = np.concatenate(out_pid).astype(np.int64)
         interior = np.concatenate(out_interior).astype(bool)
-        cell_leaf = batch["cell_id"].to_numpy(zero_copy_only=False)[rowidx]
+        cell_leaf = leaf_all[rowidx]
 
         contained = interior.copy()
         if self.exact:
