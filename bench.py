@@ -181,7 +181,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _wait_quiet(threshold: float, max_wait_sec: int = 1800):
+    """Optionally gate a run on host quiet (GRAFT_GATE_LOAD): co-tenant
+    CPU steal on this box swings loadavg 1 -> 25 within minutes and a
+    leg measured in a noisy window reads as a fake regression (the
+    BENCH_r03 lesson).  Returns the loadavg seen when giving up or
+    proceeding."""
+    deadline = time.time() + max_wait_sec
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 < threshold:
+            return load1
+        time.sleep(20)
+    return os.getloadavg()[0]
+
+
 def run_subprocess(ncpu: int, scaling=False) -> dict:
+    gate = os.environ.get("GRAFT_GATE_LOAD")
+    if gate:
+        _wait_quiet(float(gate))
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if scaling:
         env["GRAFT_BENCH_MODE"] = "scaling"

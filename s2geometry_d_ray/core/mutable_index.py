@@ -115,6 +115,8 @@ class MutableShapeIndexSet:
         (sorted) containing each point (compat wrapper over
         containing_pairs)."""
         p = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        if len(p) == 0:
+            return []  # np.split on an empty split list yields [sid]
         pt, sid = self.containing_pairs(p)
         counts = np.bincount(pt, minlength=len(p))
         splits = np.cumsum(counts)[:-1]

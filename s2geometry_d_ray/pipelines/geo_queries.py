@@ -777,6 +777,9 @@ def geo_simplify(sf_dir):
     return pd.DataFrame(rows, columns=["n_nationkey", "n_in", "n_kept"])
 
 
+_SIMP_TILES_CACHE: dict = {}
+
+
 def _simplify_in_cell_tiles(keys):
     """Build the per-nation simplified-in-cell tile set (the dimension
     side): disc k (= _union_fixtures disc A, a convex 48-gon) is
@@ -793,10 +796,15 @@ def _simplify_in_cell_tiles(keys):
     from ..core.polygon_ops import (boolean_intersection,
                                     initialize_to_simplified_in_cell)
     import math
+    keys = [int(k) for k in keys]
+    cached = _SIMP_TILES_CACHE.get(tuple(keys))
+    if cached is not None:
+        return cached  # the build runs the full clip+simplify pipeline
     rc = RegionCoverer(max_cells=16, min_level=4, max_level=8)
+    fixtures = _union_fixtures(keys)
     out = {}
     for k in keys:
-        disc = _union_fixtures([k])[int(k)][0]
+        disc = fixtures[k][0]
         v = disc.loops[0].vertices
         dn = np.cross(v, np.roll(v, -1, axis=0))
         dn = dn / np.linalg.norm(dn, axis=1, keepdims=True)
@@ -822,6 +830,7 @@ def _simplify_in_cell_tiles(keys):
                 "simp": simp,
             })
         out[int(k)] = {"disc_normals": dn, "tiles": tiles}
+    _SIMP_TILES_CACHE[tuple(keys)] = out
     return out
 
 

@@ -188,12 +188,9 @@ def q5_nation_revenue(sf_dir):
         pipeline.  Tasks reserve nothing, and the plasma get is
         zero-copy and cached per worker process, so the broadcast-once
         semantics are unchanged."""
-        arrs = _BCAST_CACHE.get(cust_ref.hex())
-        if arrs is None:
-            _BCAST_CACHE.clear()  # bounded: one live broadcast per stage
-            arrs = fetch(cust_ref)
-            _BCAST_CACHE[cust_ref.hex()] = arrs
-        ckeys, cnat = arrs
+        from ..state.broadcast import cache_get_or_build
+        ckeys, cnat = cache_get_or_build(
+            _BCAST_CACHE, cust_ref.hex(), lambda: fetch(cust_ref))
         ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(ckeys, ok)
         pos = np.minimum(pos, len(ckeys) - 1)

@@ -87,10 +87,10 @@ def spatial_join(pages_ds, polygons, concurrency=None, exact=True,
     except Exception:
         is_ref = False
     if is_ref:
-        # pre-broadcast by the caller (broadcast() once per job)
+        # pre-broadcast by the caller (broadcast() once per job).  No
+        # driver-side fetch: nothing below reads the index content —
+        # JoinRefine derives the ancestor levels from the leaf id.
         ref = index
-        from ..state.broadcast import fetch
-        index = fetch(ref)
     else:
         ref = broadcast(index)
     # Materialize NO ancestor columns: JoinRefine derives cell_l{k}

@@ -202,8 +202,15 @@ def _lsh_candidate_pairs(bands):
         })
 
     import pyarrow.compute as pc
+    # MATERIALIZE before branching: a lazy Dataset consumed by two
+    # downstream branches re-executes its whole lineage per branch (Ray
+    # Data has no common-subexpression cache) — the sort shuffle would
+    # run twice, and with divergent batching between the two executions
+    # a bucket could be classified interior in one and boundary in the
+    # other, vanishing from BOTH branches.  The post-block_pairs table
+    # is only candidate pairs + <=2 boundary buckets per block — small.
     out_ds = s.map_batches(block_pairs, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).materialize()
 
     def inner_pairs(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t["is_boundary"]))

@@ -21,14 +21,7 @@ from ..state.broadcast import fetch
 # one plasma-backed copy per distinct ref across queries — ADVICE r3).
 _TOPK_CACHE: dict = {}
 
-
-def cache_get_or_build(cache: dict, key, builder):
-    inst = cache.get(key)
-    if inst is None:
-        cache.clear()
-        inst = builder()
-        cache[key] = inst
-    return inst
+from ..state.broadcast import cache_get_or_build  # noqa: E402
 
 
 def _stack_embeddings(col):
@@ -70,16 +63,16 @@ class BruteForceTopK:
             sims = np.where(mask, -np.inf, sims)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            cols = part[qi]
-            out_q.extend([int(self.qids[qi])] * len(cols))
-            out_v.extend(ids[cols].tolist())
-            out_s.extend(sims[qi, cols].tolist())
+        # Flat (query, col) gather — no per-query Python loop.
+        cols = part.ravel()
+        qrows = np.repeat(np.arange(sims.shape[0]), k)
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(
+                np.asarray(self.qids, np.int64)[qrows], pa.int64()),
+            "vec_id": pa.array(
+                np.asarray(ids, np.int64)[cols], pa.int64()),
+            "score": pa.array(sims[qrows, cols].astype(np.float64),
+                              pa.float64()),
         })
 
 

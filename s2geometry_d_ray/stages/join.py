@@ -142,13 +142,11 @@ def make_join_refine_fn(index_ref, exact=True):
     fetched once per worker process via a module-level cache. Preferred
     when the per-batch work is small relative to actor startup."""
     def fn(batch: pa.Table) -> pa.Table:
-        key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
-        inst = _INDEX_CACHE.get(key)
-        if inst is None:
-            _INDEX_CACHE.clear()  # bounded: one live index per worker
-            inst = JoinRefine(index_ref, exact)
-            _INDEX_CACHE[key] = inst
-        return inst(batch)
+        from ..state.broadcast import cache_get_or_build
+        key = (index_ref.hex() if hasattr(index_ref, "hex")
+               else id(index_ref), exact)
+        return cache_get_or_build(
+            _INDEX_CACHE, key, lambda: JoinRefine(index_ref, exact))(batch)
     return fn
 
 

@@ -57,3 +57,17 @@ def fetch(ref):
     except Exception:
         pass
     return ref
+
+
+def cache_get_or_build(cache: dict, key, builder):
+    """Bounded per-worker-process cache for broadcast-backed stage
+    state: a stage only ever uses one broadcast at a time, so inserting
+    a new key evicts the old entries (long-lived workers otherwise
+    accumulate one plasma-backed copy per distinct ref across queries
+    — ADVICE r3)."""
+    inst = cache.get(key)
+    if inst is None:
+        cache.clear()
+        inst = builder()
+        cache[key] = inst
+    return inst

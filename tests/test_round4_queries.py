@@ -189,3 +189,18 @@ class TestAdviceFixes:
             p = ci.prev_wrap(first)
         assert int(n) == 1
         assert int(p) == int(last)
+
+
+class TestSessionBuckets:
+    def test_more_than_64_buckets_populate(self, ray_session, sf_dir):
+        """ADVICE r3: a fixed 6-bit shift capped the sessionizer at 64
+        populated buckets; the shift now derives from n_buckets.  The
+        result must also be bucket-count-invariant (sessions are
+        per-user; any bucketing that keeps a user whole is correct)."""
+        from s2geometry_d_ray.pipelines.relational import events_sessions
+        a = events_sessions(sf_dir, n_buckets=64)
+        b = events_sessions(sf_dir, n_buckets=200)
+        import pandas as pd
+        pa_ = a.sort_values(list(a.columns)).reset_index(drop=True)
+        pb_ = b.sort_values(list(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa_, pb_)
