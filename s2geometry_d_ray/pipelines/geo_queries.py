@@ -469,9 +469,9 @@ def geo_mutable_pip(sf_dir):
     lazy apply) driven through a dataset query: 16 polygons are added
     and applied, then a mutation script runs (remove every 4th shape,
     add 4 new ones) and the doc stream is classified against the
-    CURRENT set.  The post-mutation adds ship to the actors still
-    QUEUED — each actor's first batch triggers the batched apply, so
-    the lazy-apply path itself runs inside the actor pool, and
+    CURRENT set.  The post-mutation adds ship to the workers still
+    QUEUED — each worker's first batch triggers the batched apply, so
+    the lazy-apply path itself runs inside the map workers, and
     pre-existing sub-indexes are reused untouched (asserted in
     tests/test_mutable_index.py).
 
@@ -494,9 +494,8 @@ def geo_mutable_pip(sf_dir):
         mset.remove(sid)
     for rec in polys[16:]:
         mset.add(rec["polygon"])
-    from ..stages.sizing import auto_concurrency_range
     from ..state.broadcast import broadcast, fetch
-    ref = broadcast(mset)  # adds still pending: actors run the lazy apply
+    ref = broadcast(mset)  # adds still pending: workers run the lazy apply
 
     class MutablePip:
         def __init__(self, mset_ref):
@@ -516,10 +515,10 @@ def geo_mutable_pip(sf_dir):
                 "shape_id": pa.array(sid, pa.int64()),
             })
 
-    return geo_points(sf_dir).map_batches(
-        MutablePip, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=auto_concurrency_range(),
-        num_cpus=1)
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        geo_points(sf_dir), MutablePip, (ref,),
+        batch_format="pyarrow", num_cpus=1)
 
 
 def geo_covering_tokens(sf_dir, n_regions=32, run_len=40,
@@ -674,13 +673,12 @@ def geo_boolean_union(sf_dir):
     keys = _nation_keys(sf_dir)
     fx = _union_fixtures(keys)
     unions = {k: boolean_union(a, b) for k, (a, b) in fx.items()}
-    from ..stages.sizing import auto_concurrency_range
     from ..state.broadcast import broadcast, fetch
     ref = broadcast(unions)
 
     class Classify:
-        def __init__(self):
-            self.unions = fetch(ref)
+        def __init__(self, unions_ref):
+            self.unions = fetch(unions_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -699,9 +697,10 @@ def geo_boolean_union(sf_dir):
                 "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
             })
 
-    return geo_points(sf_dir).map_batches(
-        Classify, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=auto_concurrency_range())
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        geo_points(sf_dir), Classify, (ref,),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def geo_union_boundary(sf_dir):
@@ -861,7 +860,6 @@ def geo_simplify_in_cell(sf_dir):
     decision chain itself stays pinned by the ported reference tests
     (tests/test_polygon_operations.py)."""
     from ..core import coords
-    from ..stages.sizing import auto_concurrency_range
     from ..state.broadcast import broadcast, fetch
 
     keys = _nation_keys(sf_dir)
@@ -919,10 +917,10 @@ def geo_simplify_in_cell(sf_dir):
                 "token": pa.array(out_t, pa.string()),
             })
 
-    return geo_points(sf_dir).map_batches(
-        ClassifyTiles, fn_constructor_args=(ref,),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=auto_concurrency_range(), num_cpus=1)
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        geo_points(sf_dir), ClassifyTiles, (ref,),
+        batch_format="pyarrow", zero_copy_batch=True, num_cpus=1)
 
 
 def geo_radius_join(sf_dir, radius_km=800.0):
@@ -1123,9 +1121,10 @@ def geo_closest_edge(sf_dir):
     s2closest_edge_query_base.d:380-750 semantics via
     core/shapeindex.py closest_edge_batch).
 
-    Ray shape: edges broadcast once via ray.put; each actor builds its
-    index in __init__; batches answered with the vectorized
-    candidate + warm-started traversal (stages/closest_edge.py).
+    Ray shape: edges broadcast once via ray.put; each map worker builds
+    its index once in __init__ (stages/stateful.py); batches answered
+    with the vectorized candidate + warm-started traversal
+    (stages/closest_edge.py).
 
     ORACLE-CHECKED: the SQL replays the full edge_distances2 chain
     (stable (b+a)x(b-a) cross product, acuteness prefilter, wedge
@@ -1142,11 +1141,10 @@ def geo_closest_edge(sf_dir):
                           columns=["n_nationkey"]).to_pandas()
     A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
     ref = broadcast_edges(A, B)
-    from ..stages.sizing import auto_concurrency_range
-    return geo_points(sf_dir).map_batches(
-        ClosestEdgeDistance, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=auto_concurrency_range(),
-        num_cpus=1)
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        geo_points(sf_dir), ClosestEdgeDistance, (ref,),
+        batch_format="pyarrow", num_cpus=1)
 
 
 def geo_furthest_edge(sf_dir):
@@ -1172,12 +1170,11 @@ def geo_furthest_edge(sf_dir):
                           columns=["n_nationkey"]).to_pandas()
     A, B, _nation, _ej = _nation_chains(nat["n_nationkey"].to_numpy())
     ref = broadcast_edges(A, B)
-    from ..stages.sizing import auto_concurrency_range
-    return geo_points(sf_dir).map_batches(
-        ClosestEdgeDistance,
-        fn_constructor_kwargs={"edges_ref": ref, "furthest": True},
-        batch_format="pyarrow", concurrency=auto_concurrency_range(),
-        num_cpus=1)
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        geo_points(sf_dir), ClosestEdgeDistance,
+        ckwargs={"edges_ref": ref, "furthest": True},
+        batch_format="pyarrow", num_cpus=1)
 
 
 def geo_crossing_pairs(sf_dir):
@@ -1208,11 +1205,10 @@ def geo_crossing_pairs(sf_dir):
                      "edge_j": edge_j})
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
-    from ..stages.sizing import auto_concurrency_range
-    return cust.map_batches(
-        CrossingPairs, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=auto_concurrency_range(),
-        num_cpus=1)
+    from ..stages.stateful import stateful_map_batches
+    return stateful_map_batches(
+        cust, CrossingPairs, (ref,),
+        batch_format="pyarrow", num_cpus=1)
 
 
 QUERIES = {

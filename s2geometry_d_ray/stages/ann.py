@@ -1,9 +1,10 @@
 """Similarity search over an embedding column (list<float>).
 
-- BruteForceTopK: actor-pool stage; the query matrix is broadcast once
-  (ray.put) and each batch does ONE numpy matmul against it -> per-batch
-  partial top-k; a final tiny sort/limit merges partials. Scales as
-  map_batches over the corpus with no shuffle of the corpus itself.
+- BruteForceTopK: stateful stage (per-worker instance cache); the query
+  matrix is broadcast once (ray.put) and each batch does ONE numpy
+  matmul against it -> per-batch partial top-k; a final tiny sort/limit
+  merges partials. Scales as map_batches over the corpus with no
+  shuffle of the corpus itself.
 - LSH bucketed variant: random-hyperplane signatures -> groupby bucket ->
   exact rerank within buckets (the scale path when the query side is big).
 """
@@ -190,11 +191,11 @@ def embedding_near_dups(embeddings_ds, threshold=0.95, n_planes=12,
     first = embeddings_ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
 
-    from .sizing import auto_concurrency_range
-    ds = embeddings_ds.map_batches(
-        IntHyperplaneLSH, fn_constructor_args=(dim, n_planes),
+    from .stateful import stateful_map_batches
+    ds = stateful_map_batches(
+        embeddings_ds, IntHyperplaneLSH, (dim, n_planes),
         batch_format="pyarrow", batch_size=8192,
-        concurrency=auto_concurrency_range(concurrency))
+        concurrency=concurrency)
 
     # Skew guard (VERDICT r1): a degenerate hash bucket would do an
     # O(n^2) rerank; cap the bucket and rely on the remaining planes.
@@ -299,16 +300,19 @@ class IVFTopK:
                             sims)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            cols = part[qi][np.isfinite(sims[qi, part[qi]])]
-            out_q.extend([int(self.qids[qi])] * len(cols))
-            out_v.extend(ids[cols].tolist())
-            out_s.extend(sims[qi, cols].tolist())
+        # Flat (query, col) gather, -inf entries (outside the probe set)
+        # dropped by mask — no per-query Python loop.
+        qrows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = part.ravel()
+        vals = sims[qrows, cols]
+        fin = np.isfinite(vals)
+        qrows, cols, vals = qrows[fin], cols[fin], vals[fin]
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(
+                np.asarray(self.qids, np.int64)[qrows], pa.int64()),
+            "vec_id": pa.array(
+                np.asarray(ids, np.int64)[cols], pa.int64()),
+            "score": pa.array(vals.astype(np.float64), pa.float64()),
         })
 
 

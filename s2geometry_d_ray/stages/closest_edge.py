@@ -1,10 +1,10 @@
-"""Closest-edge actor-pool stage: distance from a point stream to a
+"""Closest-edge stateful stage: distance from a point stream to a
 broadcast edge collection through the indexed best-first search.
 
 The S2ClosestEdgeQuery shape at dataset scale (SURVEY.md §3.4 pattern):
 the edge collection is the small side — broadcast ONCE via ray.put —
-and every actor builds its EdgeVectorIndex in __init__ (once per actor,
-not per batch).  Each batch is answered with
+and every map worker builds its EdgeVectorIndex in __init__ (once per
+worker via stages/stateful.py, not per batch).  Each batch is answered with
 EdgeVectorIndex.closest_edge_batch (core/shapeindex.py): a vectorized
 bucket-candidate pass for an achievable upper bound, then the exact
 best-first traversal warm-started at that bound
@@ -28,7 +28,7 @@ def broadcast_edges(edge_a, edge_b):
 
 
 class ClosestEdgeDistance:
-    """__init__ once per actor: fetch broadcast edges, build the bucket
+    """__init__ once per worker: fetch broadcast edges, build the bucket
     index.  __call__ per batch: (doc_id, lat, lon) -> (doc_id, d2)
     where d2 is the squared chord distance to the nearest edge,
     rounded to 12 decimals half-AWAY from zero (DuckDB ROUND semantics;

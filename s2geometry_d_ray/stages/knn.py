@@ -1,8 +1,9 @@
-"""kNN actor-pool stage: each actor holds a PointIndex built once from a
-broadcast point table; batches of query points map to top-k neighbor rows.
+"""kNN stateful stage: each map worker holds a PointIndex built once
+from a broadcast point table (stages/stateful.py task pattern); batches
+of query points map to top-k neighbor rows.
 
 Cross-partition kNN at scale (SURVEY.md §3.4): per-partition top-k inside
-the actors, then a global per-query merge — the final merge input is only
+the workers, then a global per-query merge — the final merge input is only
 (queries x k x partitions) rows, a tiny table."""
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ def build_point_index_from_latlng(lat_deg, lon_deg, data_ids=None):
 
 
 class KnnActor:
-    """__init__ once per actor: fetch the broadcast index.
+    """__init__ once per worker: fetch the broadcast index.
     __call__ per batch: queries (query_id, lat, lon [, max_points,
     max_distance]) -> rows (query_id, neighbor_id, distance2, rank)."""
 
@@ -93,12 +94,11 @@ def knn_partitioned(corpus_ds, query_ids, query_lat, query_lon, k=5,
     x, y, z = coords.latlng_to_xyz(np.asarray(query_lat, np.float64),
                                    np.asarray(query_lon, np.float64))
     from ..state.broadcast import broadcast
-    from .sizing import auto_concurrency_range
+    from .stateful import stateful_map_batches
     qref = broadcast({"query_id": np.asarray(query_ids, np.int64),
                       "xyz": np.stack([x, y, z], axis=1)})
-    concurrency = auto_concurrency_range(concurrency)
-    parts = corpus_ds.map_batches(
-        PartitionKnn, fn_constructor_args=(qref, k),
+    parts = stateful_map_batches(
+        corpus_ds, PartitionKnn, (qref, k),
         batch_format="pyarrow", batch_size=None, num_cpus=1,
         concurrency=concurrency)
 
@@ -119,9 +119,9 @@ def knn_pipeline(points_table, queries_ds, k=5, concurrency=None):
     (query_id, lat, lon)."""
     index = PointIndex.from_latlng(points_table["lat"], points_table["lon"],
                                    points_table.get("ids"))
-    from .sizing import auto_concurrency_range
+    from .stateful import stateful_map_batches
     ref = broadcast(index)
-    return queries_ds.map_batches(
-        KnnActor, fn_constructor_args=(ref, k),
+    return stateful_map_batches(
+        queries_ds, KnnActor, (ref, k),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=auto_concurrency_range(concurrency), num_cpus=1)
+        concurrency=concurrency, num_cpus=1)
