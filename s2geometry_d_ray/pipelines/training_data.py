@@ -572,6 +572,55 @@ def multimodal_decode_demo(sf_dir):
                               "decode_ok"])
 
 
+def multimodal_resize_plan(sf_dir, max_side=128):
+    """Decode (stub) -> aspect-preserving resize plan over binary
+    payloads.  The fit-in-box dims are exact integer arithmetic replayed
+    in the DuckDB oracle, so the two-stage chain (schema handoff
+    decode -> resize) is verified end to end, not just row counts."""
+    from ..stages.multimodal import ImageDecode, Resize
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "payload_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+        })
+
+    from .spatial_join import _auto_concurrency
+    conc = max(1, _auto_concurrency() // 2)
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(ImageDecode, batch_format="pyarrow", batch_size=512,
+                        concurrency=conc, num_cpus=1)
+    ds = ds.map_batches(Resize(max_side=max_side), batch_format="pyarrow",
+                        batch_size=4096)
+    return ds.select_columns(["payload_id", "width", "height",
+                              "out_width", "out_height"])
+
+
+def multimodal_frame_plan(sf_dir, every_n=10):
+    """Video frame-sampling plan: n_frames derives deterministically from
+    doc_id (1 + doc_id % 300, a stand-in for container metadata the real
+    demuxer would read), then frame_sample_plan expands each payload to
+    its (payload_id, frame_index) sample rows — the flat-map row
+    expansion a frame extractor would feed."""
+    import functools
+
+    from ..stages.multimodal import frame_sample_plan
+
+    def meta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "payload_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(1 + ids % 300, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        meta, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        functools.partial(frame_sample_plan, every_n=every_n),
+        batch_format="pyarrow")
+
+
 def near_dup_clusters(sf_dir, threshold_bps=3500):
     """Connected components over MinHash-LSH verified pairs: each doc maps
     to its component's min doc_id (the canonical keeper).
@@ -622,6 +671,8 @@ QUERIES = {
     "embedding_dups": embedding_dups,
     "doc_bytes": doc_bytes,
     "multimodal_decode_demo": multimodal_decode_demo,
+    "multimodal_resize_plan": multimodal_resize_plan,
+    "multimodal_frame_plan": multimodal_frame_plan,
 }
 
 # Shared CTE chain for the exact near-dup oracles: tokenize (Python
@@ -857,4 +908,28 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
         "CAST(64 + ((md5_number_upper(text) >> 8) & 255) % 192 AS INTEGER) "
         "AS height, CAST(3 AS INTEGER) AS channels, TRUE AS decode_ok "
         "FROM documents"),
+    # Resize plan: floor((side * max_side) / longest) when the longest
+    # side exceeds max_side=128, else identity — exact integer math on
+    # the stub-decoded dims, so `//` replays the kernel bit for bit.
+    "multimodal_resize_plan": (
+        "WITH d AS (SELECT doc_id AS payload_id, "
+        "64 + (md5_number_upper(text) & 255) % 192 AS w, "
+        "64 + ((md5_number_upper(text) >> 8) & 255) % 192 AS h "
+        "FROM documents) "
+        "SELECT payload_id, CAST(w AS INTEGER) AS width, "
+        "CAST(h AS INTEGER) AS height, "
+        "CAST(CASE WHEN GREATEST(w, h) > 128 THEN "
+        "GREATEST(1, (w * 128) // GREATEST(w, h)) ELSE w END AS INTEGER) "
+        "AS out_width, "
+        "CAST(CASE WHEN GREATEST(w, h) > 128 THEN "
+        "GREATEST(1, (h * 128) // GREATEST(w, h)) ELSE h END AS INTEGER) "
+        "AS out_height FROM d"),
+    # Frame plan: ceil-free sampling — max(1, n_frames // 10) frames at
+    # stride 10, frame_index = i * 10 for i in [0, count).
+    "multimodal_frame_plan": (
+        "WITH v AS (SELECT doc_id AS payload_id, "
+        "1 + doc_id % 300 AS n_frames FROM documents) "
+        "SELECT payload_id, CAST(u * 10 AS BIGINT) AS frame_index "
+        "FROM v, unnest(generate_series(0, "
+        "CAST(GREATEST(1, n_frames // 10) - 1 AS BIGINT))) AS t(u)"),
 }

@@ -88,6 +88,41 @@ class FeatureExtract:
             "features", pa.array(feats, pa.list_(pa.float32())))
 
 
+class Resize:
+    """(width, height) -> aspect-preserving fit-in-box output dims plus
+    the (stubbed) pixel resample.
+
+    The dimension plan is EXACT integer arithmetic — the longest side is
+    clamped to ``max_side`` and the other side scales by
+    ``floor(side * max_side / longest)`` (never upscales, never emits 0)
+    — so the plan is SQL-replayable and oracle-checked end to end.  The
+    pixel resample itself needs PIL and is stubbed like ImageDecode."""
+
+    def __init__(self, max_side=128):
+        self.max_side = max_side
+
+    def plan(self, w: np.ndarray, h: np.ndarray):
+        w = w.astype(np.int64)
+        h = h.astype(np.int64)
+        m = np.maximum(np.maximum(w, h), 1)
+        need = m > self.max_side
+        out_w = np.where(need, np.maximum(1, (w * self.max_side) // m), w)
+        out_h = np.where(need, np.maximum(1, (h * self.max_side) // m), h)
+        return out_w.astype(np.int32), out_h.astype(np.int32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        if _HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError(
+                "real resample path requires PIL; container ships none")
+        out_w, out_h = self.plan(w, h)
+        batch = batch.append_column("out_width",
+                                    pa.array(out_w, pa.int32()))
+        return batch.append_column("out_height",
+                                   pa.array(out_h, pa.int32()))
+
+
 def frame_sample_plan(batch: pa.Table, every_n=10) -> pa.Table:
     """Video frame-sampling plan: emits (payload_id, frame_index) rows.
     The actual frame extraction is the stubbed decode; the flat-map row
