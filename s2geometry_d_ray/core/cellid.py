@@ -120,6 +120,11 @@ def to_face_ij_scalar(cell_id):
 
 
 def from_face_ij_scalar(face, i, j):
+    # Force plain Python ints: a numpy int64 `face` would propagate into
+    # `n * 2 + 1` and overflow at face >= 4 (the last RuntimeWarning the
+    # r4 errstate sweep missed — batch paths are wrapped, this scalar
+    # path must simply never be numpy).
+    face, i, j = int(face), int(i), int(j)
     n = face << (POS_BITS - 1)
     bits = face & SWAP_MASK
     mask = (1 << LOOKUP_BITS) - 1

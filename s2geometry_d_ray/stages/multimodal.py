@@ -63,29 +63,56 @@ class ImageDecode:
         return batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
+def _mix64(x):
+    """splitmix64 finalizer (vectorized, uint64)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 class FeatureExtract:
     """(decoded meta) -> fixed-size feature vector (list<float>).
 
-    Deterministic fake: blake2b-seeded pseudo-embedding. A real model
-    would be loaded once here in __init__ (the actor-pool contract)."""
+    Deterministic fake: blake2b payload seed -> counter-mode splitmix64
+    uniforms -> Box-Muller normals, ONE vectorized (n, dim) computation
+    per batch (no per-row RNG construction — a real model swap inherits
+    the batch shape).  Only the per-payload blake2b digest is a Python
+    loop (hashing bytes is inherently per-row)."""
 
     def __init__(self, dim=32):
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = []
-        for p in payloads:
-            if p is None:
-                feats.append([0.0] * self.dim)
-                continue
-            seed = int.from_bytes(hashlib.blake2b(
-                p, digest_size=8).digest(), "little") % (2 ** 32)
-            rng = np.random.default_rng(seed)
-            feats.append(rng.standard_normal(self.dim).astype(
-                np.float32).tolist())
+        import pyarrow.compute as pc
+        col = batch["payload"]
+        n = len(col)
+        ok = pc.is_valid(col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        seeds = np.zeros(n, dtype=np.uint64)
+        idxs = np.flatnonzero(ok)
+        for i, p in zip(idxs.tolist(), pc.drop_null(col).to_pylist()):
+            seeds[i] = int.from_bytes(
+                hashlib.blake2b(p, digest_size=8).digest(), "little")
+        # Counter-based normals: two uniforms per feature from
+        # mix64(seed * dim_stride + counter), Box-Muller to N(0, 1).
+        d = self.dim
+        with np.errstate(over="ignore"):
+            ctr = (seeds[:, None] * np.uint64(2654435761)
+                   + np.arange(2 * d, dtype=np.uint64)[None, :])
+            bits = _mix64(ctr)
+        u = (bits >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+        u1 = np.maximum(u[:, :d], 2.0 ** -53)
+        u2 = u[:, d:]
+        feats = (np.sqrt(-2.0 * np.log(u1))
+                 * np.cos(2.0 * np.pi * u2)).astype(np.float32)
+        feats[~ok] = 0.0
+        flat = pa.array(feats.ravel(), pa.float32())
+        offsets = pa.array(
+            np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
         return batch.append_column(
-            "features", pa.array(feats, pa.list_(pa.float32())))
+            "features", pa.ListArray.from_arrays(offsets, flat))
 
 
 class Resize:
@@ -110,12 +137,19 @@ class Resize:
         out_h = np.where(need, np.maximum(1, (h * self.max_side) // m), h)
         return out_w.astype(np.int32), out_h.astype(np.int32)
 
+    def resample(self, payload: bytes, out_w: int, out_h: int) -> bytes:
+        """Actual pixel resample — needs a codec either way (ADVICE r4:
+        the dimension PLAN must not be gated on PIL; only this method,
+        which would emit pixels, is)."""
+        raise NotImplementedError(
+            "pixel resample requires an image codec; only the dimension "
+            "plan is implemented in this container"
+            + (" (PIL present but decode stage is stubbed)"
+               if _HAVE_PIL else ""))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False)
         h = batch["height"].to_numpy(zero_copy_only=False)
-        if _HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError(
-                "real resample path requires PIL; container ships none")
         out_w, out_h = self.plan(w, h)
         batch = batch.append_column("out_width",
                                     pa.array(out_w, pa.int32()))

@@ -7,8 +7,9 @@ scaling efficiency can be read against the hardware ceiling:
 
   compute : np.sort over a cache-sized array (models the vectorized
             geocode/join kernels; mostly core-bound, turbo-sensitive)
-  stream  : out = a * s + b over a ~128 MiB working set per worker
-            (memory-bandwidth-bound; models Arrow block scans)
+  stream  : out = a * s + b over three 16M-float64 arrays, ~384 MiB
+            working set PER WORKER (~12 GiB aggregate RSS at 32 procs;
+            memory-bandwidth-bound; models Arrow block scans)
 
 Protocol: for each worker count, fork K processes that each run the
 quantum in a loop and bump a shared counter; the parent samples the
@@ -87,6 +88,15 @@ def measure(kind: str, nproc: int, gate_load: float) -> dict:
             if ready.value >= nproc:
                 break
         time.sleep(0.2)
+    else:
+        # Fail loudly instead of silently recording a 0-quanta window
+        # (which would later crash the ratio division — ADVICE r4).
+        stop_evt.set()
+        for p in procs:
+            p.terminate()
+        raise RuntimeError(
+            f"capacity probe: only {ready.value}/{nproc} workers ready "
+            f"after 120 s — box too loaded for a valid measurement")
     time.sleep(WARMUP_SEC)
     with counter.get_lock():
         start = counter.value
@@ -119,6 +129,10 @@ def main():
             r_lo = measure(kind, lo, args.gate_load)
             r_hi = measure(kind, hi, args.gate_load)
             runs += [r_lo, r_hi]
+            if r_lo["quanta_per_sec"] <= 0:
+                raise RuntimeError(
+                    f"capacity probe: {kind}@{lo} recorded zero quanta "
+                    f"— window invalid, refusing to divide")
             ratio = r_hi["quanta_per_sec"] / r_lo["quanta_per_sec"]
             ratios[f"{kind}_{lo}to{hi}"] = {
                 "speedup": round(ratio, 3),

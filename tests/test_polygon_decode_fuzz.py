@@ -1,0 +1,129 @@
+"""Port of the reference S2PolygonDecodeTest fuzz corpus
+(/root/reference/test/s2/s2polygon_test.d:2818-2935, the C++-era
+FuzzLosslessEncoding / FuzzCompressedEncoding / FuzzEverything tests the
+D port left commented out): arbitrary corrupt bytes fed to the polygon
+decoders must fail with a clean DecodeError (the analogue of Decode()
+returning false) or succeed — never crash with an unrelated exception,
+hang, or allocate memory proportional to a fuzzed count.
+
+Adapted to this repo's wire formats: lossless v1
+(u8 ver | u32 n_loops | per loop u32 depth | u32 n_vertices | xyz f64)
+and compressed v4 (u8 ver | u8 level | varint n_loops | loops)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+import s2geometry_d_ray.core.serialization as ser
+
+ITERS = 500          # per fuzz mode (reference: 100000 in opt mode)
+MAX_BYTES = 256      # reference kMaxBytes
+
+DECODERS = (ser.decode_polygon, ser.decode_polygon_compressed,
+            ser.decode_polygon_auto)
+
+
+def _try_decode(blob):
+    """Every decoder must either return or raise DecodeError — any
+    other exception type is a fuzz failure (the 'never crash' bar)."""
+    for dec in DECODERS:
+        try:
+            dec(bytes(blob))
+        except ser.DecodeError:
+            pass
+
+
+def _pick_random_count(rng) -> int:
+    # Reference PickRandomCount: -1 / 0 / 1e9 / uniform(1e9) / uniform(1e3)
+    r = rng.integers(0, 10)
+    if r == 0:
+        return 0xFFFFFFFF  # -1 as the u32 the wire carries
+    if r == 1:
+        return 0
+    if r == 2:
+        return 1_000_000_000
+    if rng.integers(0, 2) == 0:
+        return int(rng.integers(0, 1_000_000_000))
+    return int(rng.integers(0, 1000))
+
+
+def test_fuzz_lossless_encoding():
+    rng = np.random.default_rng(20260819)
+    for _ in range(ITERS):
+        buf = bytearray()
+        buf += struct.pack("<BI", 1, _pick_random_count(rng))   # n_loops
+        buf += struct.pack("<II", _pick_random_count(rng),      # depth
+                           _pick_random_count(rng))             # n_vertices
+        buf += rng.integers(0, 256,
+                            int(rng.integers(0, MAX_BYTES))).astype(
+            np.uint8).tobytes()
+        _try_decode(buf)
+
+
+def test_fuzz_compressed_encoding():
+    rng = np.random.default_rng(20260820)
+    for _ in range(ITERS):
+        buf = bytearray()
+        buf.append(4)                                  # version
+        buf.append(int(rng.integers(0, 50)))           # snap level
+        buf += ser._varint_encode(_pick_random_count(rng))  # n_loops
+        buf += ser._varint_encode(_pick_random_count(rng))  # n_vertices
+        buf += rng.integers(0, 256,
+                            int(rng.integers(0, MAX_BYTES))).astype(
+            np.uint8).tobytes()
+        _try_decode(buf)
+
+
+def test_fuzz_everything():
+    rng = np.random.default_rng(20260821)
+    for _ in range(ITERS):
+        buf = rng.integers(0, 256, int(rng.integers(0, MAX_BYTES))).astype(
+            np.uint8).tobytes()
+        _try_decode(buf)
+    _try_decode(b"")  # the degenerate buffer
+
+
+def _valid_blobs():
+    from s2geometry_d_ray.core.polygon_ops import initialize_to_snapped
+    from s2geometry_d_ray.core.textformat import make_polygon
+    poly = make_polygon("0:0, 0:2, 2:0; 0:0, 0:-2, -2:-2, -2:0")
+    snapped = initialize_to_snapped(poly, snap_level=30)
+    return [ser.encode_polygon(snapped),
+            ser.encode_polygon_compressed(snapped),
+            ser.encode_polygon_compressed(None)]
+
+
+def test_fuzz_corrupted_valid_encodings():
+    """Random single/multi-byte corruption and truncation of VALID
+    encodings: decode must fail cleanly or succeed — never crash or
+    mis-typed-raise (the corruption fuzz VERDICT r4 #8 asked for)."""
+    rng = np.random.default_rng(20260822)
+    for blob in _valid_blobs():
+        for _ in range(ITERS):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            _try_decode(b)
+        for cut in range(len(blob)):
+            _try_decode(blob[:cut])
+
+
+def test_fuzzed_counts_never_over_allocate():
+    """A billion-vertex count in a 20-byte buffer must be rejected by
+    bounds checks, not by a 24 GB np.empty."""
+    blob = bytearray()
+    blob.append(4)
+    blob.append(30)
+    blob += ser._varint_encode(1)              # one loop
+    blob += ser._varint_encode(1_000_000_000)  # fuzzed vertex count
+    blob += b"\x00" * 8
+    with pytest.raises(ser.DecodeError):
+        ser.decode_polygon_compressed(bytes(blob))
+
+    lossless = struct.pack("<BI", 1, 1) + struct.pack(
+        "<II", 0, 1_000_000_000) + b"\x00" * 8
+    with pytest.raises(ser.DecodeError):
+        ser.decode_polygon(lossless)
