@@ -157,6 +157,55 @@ def geo_parent_tokens(sf_dir):
                                           zero_copy_batch=True)
 
 
+def geo_common_ancestor(sf_dir, bucket_keys=4096):
+    """Common-ancestor level between each document's leaf cell and the
+    NEXT document's (doc_id + 1) leaf cell — drives
+    S2CellId.getCommonAncestorLevel (s2cell_id.d:708-719) as a
+    distributed key-successor self-join.
+
+    Ray shape: rows are range-bucketed by doc_id // bucket_keys; a row
+    whose doc_id opens its bucket (doc_id % bucket_keys == 0) is ALSO
+    forwarded to the previous bucket (flat boundary duplication, the
+    LSH-boundary pattern), so every (k, k+1) pair materializes in
+    exactly one bucket — no global sort, no driver hop.  Oracle: the
+    Hilbert-CTE leaf cells joined on doc_id + 1, ancestor level as the
+    max level with equal HUGEINT parents (provably the xor-msb rule)."""
+    def enc(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        leaf = ci.cellid_from_latlng(lat, lon).astype(np.int64)
+        b = did // bucket_keys
+        t = pa.table({"doc_id": pa.array(did, pa.int64()),
+                      "cell_id": pa.array(leaf, pa.int64()),
+                      "bucket": pa.array(b, pa.int64())})
+        edge = did % bucket_keys == 0
+        if edge.any():
+            t = pa.concat_tables([t, pa.table({
+                "doc_id": pa.array(did[edge], pa.int64()),
+                "cell_id": pa.array(leaf[edge], pa.int64()),
+                "bucket": pa.array(b[edge] - 1, pa.int64())})])
+        return t
+
+    def pairs(g):
+        import pandas as pd
+        g = g.sort_values("doc_id")
+        did = g["doc_id"].to_numpy()
+        cid = g["cell_id"].to_numpy().astype(np.int64).view(np.uint64)
+        m = did[1:] == did[:-1] + 1
+        lvl = ci.common_ancestor_level(cid[:-1][m], cid[1:][m])
+        return pd.DataFrame({
+            "doc_id": did[:-1][m].astype(np.int64),
+            "ancestor_level": np.asarray(lvl, dtype=np.int64)})
+
+    out = geo_points(sf_dir).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def geo_cell_union_ops(sf_dir):
     """S2CellUnion set algebra (normalize / unite / intersect /
     difference, s2cell_union.d:743-874) over dataset-derived unions:
@@ -1225,6 +1274,7 @@ QUERIES = {
     "geo_grid_tile_count": geo_grid_tile_count,
     "geo_cell_encode": geo_cell_encode,
     "geo_parent_tokens": geo_parent_tokens,
+    "geo_common_ancestor": geo_common_ancestor,
     "geo_knn": geo_knn,
     "s2_knn": s2_knn,
     "geo_spatial_join": geo_spatial_join,
@@ -2091,6 +2141,29 @@ def _parent_token_expr(level: int) -> str:
 
 
 ORACLE["geo_cell_encode"] = _cell_encode_sql() + _cell_encode_tail()
+
+# Common-ancestor level of successive doc_ids: leaf cells from the same
+# Hilbert CTE joined on doc_id + 1; level = MAX L whose HUGEINT parents
+# (cid - cid % 2m + m, m = 4^(30-L)) are equal, COALESCE(-1) when even
+# the face cells (L = 0) differ.  Equal-parent-at-L <=> msb(a xor b) <=
+# 2*(30-L), so MAX L == 30 - ceil(msb/2) — exactly the kernel's xor rule
+# (core/cellid.py:441, s2cell_id.d:708-719).
+_ANCESTOR_LVL_VALUES = ", ".join(
+    f"({lv}, {1 << (2 * (30 - lv))})" for lv in range(31))
+ORACLE["geo_common_ancestor"] = _cell_encode_sql() + f"""
+, lv(lvl, m) AS (VALUES {_ANCESTOR_LVL_VALUES}),
+pairs AS (
+  SELECT a.doc_id AS doc_id, a.cid AS ca, b.cid AS cb
+  FROM fin a JOIN fin b ON b.doc_id = a.doc_id + 1
+),
+anc AS (
+  SELECT p.doc_id, MAX(lv.lvl) AS lvl FROM pairs p JOIN lv
+    ON (p.ca - (p.ca % (2 * lv.m)) + lv.m)
+     = (p.cb - (p.cb % (2 * lv.m)) + lv.m)
+  GROUP BY p.doc_id)
+SELECT p.doc_id, CAST(COALESCE(a.lvl, -1) AS BIGINT) AS ancestor_level
+FROM pairs p LEFT JOIN anc a USING (doc_id)
+"""
 
 # Ancestor tokens at several levels: the same Hilbert CTE, parent() as
 # pure HUGEINT arithmetic, to_token's trailing-zero strip via rtrim.

@@ -360,6 +360,58 @@ def events_sessions(sf_dir, n_buckets=64):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_asof(sf_dir, left_type="view", right_type="purchase",
+                n_buckets=64):
+    """As-of join: each `left_type` event matched to the SAME user's most
+    recent `right_type` event at or before it (equal-ts rights are
+    visible; ties among equal-ts rights break by max event_id); inner
+    semantics — unmatched lefts are dropped.
+
+    Scale shape: hash-bucket users, ONE groupby(bucket) shuffle, one
+    vectorized multi-user merge per bucket (stages/asof.py — lexsort +
+    maximum.accumulate, no per-user loop, no driver hop).  Oracle: the
+    deterministic LAST_VALUE ... IGNORE NULLS window replay in DuckDB."""
+    import pyarrow.compute as pc
+
+    from ..stages.asof import add_hash_bucket, most_recent_right_at_or_before
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array([left_type, right_type]))
+        t = batch.filter(m)
+        isl = pc.cast(pc.equal(t["event_type"], pa.scalar(left_type)),
+                      pa.int8())
+        t = t.drop_columns(["event_type"]).append_column("is_left", isl)
+        return add_hash_bucket(t, "user_id", n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        seq = g["event_id"].to_numpy()
+        isl = g["is_left"].to_numpy()
+        val = g["value"].to_numpy()
+        order, match = most_recent_right_at_or_before(key, ts, isl, seq)
+        lm = (isl[order] == 1) & (match >= 0)
+        li = order[lm]                 # original rows of matched lefts
+        ri = order[match[lm]]          # original rows of their rights
+        gap = (ts[li] - ts[ri]).astype("timedelta64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "event_id": seq[li].astype(np.int64),
+            "user_id": key[li].astype(np.int64),
+            "matched_event_id": seq[ri].astype(np.int64),
+            "matched_value": val[ri].astype(np.float64),
+            "gap_us": gap})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    out = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q6_revenue_forecast(sf_dir):
     """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
     ship-year.  Pure streaming filter + per-block partial sum -> one-row
@@ -437,9 +489,34 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_user_stats": events_user_stats,
     "events_sessions": events_sessions,
+    "events_asof": events_asof,
 }
 
 ORACLE = {
+    # Deterministic as-of window replay: rights sort BEFORE lefts at
+    # equal ts (so equal-ts rights are visible), max event_id among
+    # equal-ts rights, inner semantics (NULL matches dropped).
+    "events_asof": (
+        "WITH ev AS ("
+        "  SELECT event_id, user_id, ts, value,"
+        "         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_left"
+        "  FROM events WHERE event_type IN ('view', 'purchase')"
+        "), w AS ("
+        "  SELECT event_id, user_id, ts, is_left,"
+        "    LAST_VALUE(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)"
+        "      OVER win AS m_id,"
+        "    LAST_VALUE(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)"
+        "      OVER win AS m_value,"
+        "    LAST_VALUE(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)"
+        "      OVER win AS m_ts"
+        "  FROM ev"
+        "  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left,"
+        "                 event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        "                 CURRENT ROW)"
+        ") SELECT event_id, user_id, m_id AS matched_event_id,"
+        " m_value AS matched_value,"
+        " CAST(date_diff('microseconds', m_ts, ts) AS BIGINT) AS gap_us"
+        " FROM w WHERE is_left = 1 AND m_id IS NOT NULL"),
     "q6_revenue_forecast": (
         "SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount "
         "* 100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents, "
