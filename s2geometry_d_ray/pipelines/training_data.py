@@ -781,6 +781,27 @@ def doc_bytes(sf_dir):
         kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_extract_text(sf_dir):
+    """The input_hint per-row invariant as a driver-graded query: wrap
+    each document's text in the synthetic source's html envelope
+    (binary), run the vectorized extraction stage, and return the
+    extracted text — the oracle is the RAW text column, so any byte
+    drift anywhere in the binary round-trip fails the value hash."""
+    from ..stages.text import HTML_PREFIX, HTML_SUFFIX, extract_text
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        h = pc.binary_join_element_wise(
+            pa.scalar(HTML_PREFIX), batch["text"], pa.scalar(HTML_SUFFIX),
+            "")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pc.cast(h, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        extract_text, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def multimodal_decode_demo(sf_dir):
     """Runs the stubbed image-decode + feature actor stages over binary
     payloads built from document text.  Oracle-checked: the stub decoder
@@ -892,6 +913,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_dups": embedding_dups,
     "doc_bytes": doc_bytes,
+    "doc_extract_text": doc_extract_text,
     "multimodal_decode_demo": multimodal_decode_demo,
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1048,6 +1070,9 @@ ORACLE = {
     "doc_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
         "AS n_bytes FROM documents"),
+    # Byte-identity of the html->text extraction round-trip: the oracle
+    # is the raw source column itself.
+    "doc_extract_text": "SELECT doc_id, text FROM documents",
     # SimHash replayed in SQL: token hash == md5_number_lower, 64 per-bit
     # majority votes, HUGEINT bit pack, int64 two's-complement view.
     "simhash_sketch": r"""

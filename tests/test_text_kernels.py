@@ -171,3 +171,21 @@ def test_minhash_bands_bucket_identical_docs_together():
     c = out[out.doc_id == 2].sort_values("band")["band_hash"].to_numpy()
     assert (a == b).all()
     assert (a != c).any()
+
+
+def test_extract_text_byte_identity_pages_source():
+    """input_hint invariant: extracting text from the source's html
+    binary must be byte-identical to the source text column."""
+    from s2geometry_d_ray.sources.pages import pages_table
+    t = pages_table(2000)
+    got = tx.extract_text(t.select(["url", "html"]))
+    assert got["text"].to_pylist() == t["text"].to_pylist()
+    assert "html" not in got.column_names
+
+
+def test_extract_text_unicode_and_empty():
+    texts = ["", "héllo wörld ☃", "a" * 5000, "<body> nested </body>"]
+    h = pa.array([(tx.HTML_PREFIX + s + tx.HTML_SUFFIX).encode()
+                  for s in texts], pa.binary())
+    got = tx.extract_text(pa.table({"html": h}))
+    assert got["text"].to_pylist() == texts
