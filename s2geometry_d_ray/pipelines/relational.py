@@ -412,6 +412,24 @@ def events_asof(sf_dir, left_type="view", right_type="purchase",
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def orders_distinct_sketch(sf_dir):
+    """HyperLogLog sketch of COUNT(DISTINCT o_custkey): per-block
+    register partials (<= 256 rows out per block), one tiny
+    groupby(register).max merge — the mergeable-sketch shape that
+    distinct-counts a 100 TB key column while moving kilobytes.  The
+    query returns the REGISTER STATE (integer-exact, md5_number_lower
+    replayed in SQL); hll_estimate() turns it into the cardinality."""
+    from ray.data.aggregate import Max
+
+    from ..stages.hll import hll_partial_kernel
+
+    out = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        hll_partial_kernel("o_custkey"), batch_format="pyarrow",
+        zero_copy_batch=True).groupby("register").aggregate(
+        Max("rho", alias_name="rho")).to_pandas()
+    return out.sort_values("register").reset_index(drop=True)
+
+
 def q6_revenue_forecast(sf_dir):
     """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
     ship-year.  Pure streaming filter + per-block partial sum -> one-row
@@ -490,9 +508,28 @@ QUERIES = {
     "events_user_stats": events_user_stats,
     "events_sessions": events_sessions,
     "events_asof": events_asof,
+    "orders_distinct_sketch": orders_distinct_sketch,
 }
 
+# HLL register replay: hash = md5_number_lower(str(key)) (the simhash
+# convention), register = low 8 bits, rho = 1 + leading zeros of the
+# remaining 56-bit value; bit length via an exact powers-of-two VALUES
+# table (no float log2).
+_HLL_POW2 = ", ".join(f"({b}, {1 << b})" for b in range(56))
+ORACLE_HLL = f"""
+WITH lv(b, p) AS (VALUES {_HLL_POW2}),
+h AS (SELECT md5_number_lower(CAST(o_custkey AS VARCHAR)) AS hv
+      FROM orders),
+r AS (SELECT CAST(hv % 256 AS BIGINT) AS register,
+             CAST(hv // 256 AS BIGINT) AS x FROM h),
+rh AS (SELECT register,
+       57 - COALESCE((SELECT MAX(b) + 1 FROM lv WHERE p <= x), 0) AS rho
+       FROM r)
+SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
+"""
+
 ORACLE = {
+    "orders_distinct_sketch": ORACLE_HLL,
     # Deterministic as-of window replay: rights sort BEFORE lefts at
     # equal ts (so equal-ts rights are visible), max event_id among
     # equal-ts rights, inner semantics (NULL matches dropped).
