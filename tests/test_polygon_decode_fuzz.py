@@ -50,6 +50,10 @@ def _pick_random_count(rng) -> int:
     return int(rng.integers(0, 1000))
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+# Corrupted bytes legitimately decode into NaN/degenerate geometry;
+# the contract under fuzz is "no crash, no mis-decode", not clean
+# float flags.
 def test_fuzz_lossless_encoding():
     rng = np.random.default_rng(20260819)
     for _ in range(ITERS):
@@ -96,6 +100,10 @@ def _valid_blobs():
             ser.encode_polygon_compressed(None)]
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+# Corrupted bytes legitimately decode into NaN/degenerate geometry;
+# the contract under fuzz is "no crash, no mis-decode", not clean
+# float flags.
 def test_fuzz_corrupted_valid_encodings():
     """Random single/multi-byte corruption and truncation of VALID
     encodings: decode must fail cleanly or succeed — never crash or
