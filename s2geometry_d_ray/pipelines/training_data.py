@@ -781,6 +781,51 @@ def doc_bytes(sf_dir):
         kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def docs_bottomk_sample(sf_dir, k=32):
+    """KMV bottom-k sketch: the k smallest md5_number_lower hashes of the
+    text column, each with the smallest doc_id carrying it — a
+    deterministic DISTINCT sample (duplicates hash identically) that
+    doubles as a mergeable distinct-count estimator, the companion of
+    the HLL register sketch.
+
+    Scale shape: per-block partial bottom-k (argsort over per-block
+    unique hashes, <= k rows out per block — correct because a globally
+    bottom-k hash is bottom-k in every block containing it), then a
+    groupby(h64).min(doc_id) merge + one tiny sort/limit.  Hash order is
+    UNSIGNED; the shuffle carries the int64 two's-complement view (the
+    cell-id convention) and sorts by the sign-flipped key."""
+    from ray.data.aggregate import Min
+
+    from ..stages.hll import hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hv = hash_u64(texts)
+        uniq, inv = np.unique(hv, return_inverse=True)
+        mind = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mind, inv, did)
+        take = np.argsort(uniq)[:k]          # uniq already sorted; cap k
+        return pa.table({
+            "h64": pa.array(uniq[take].astype(np.int64), pa.int64()),
+            "doc_id": pa.array(mind[take], pa.int64())})
+
+    def sort_key(batch: pa.Table) -> pa.Table:
+        key = (batch["h64"].to_numpy(zero_copy_only=False)
+               .astype(np.int64).view(np.uint64)
+               ^ np.uint64(1 << 63)).astype(np.int64)
+        return batch.append_column("h_sort", pa.array(key, pa.int64()))
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("h64").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .map_batches(sort_key, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("h_sort").limit(k).select_columns(["doc_id", "h64"])
+    return out.to_pandas().reset_index(drop=True)
+
+
 def doc_extract_text(sf_dir):
     """The input_hint per-row invariant as a driver-graded query: wrap
     each document's text in the synthetic source's html envelope
@@ -914,6 +959,7 @@ QUERIES = {
     "embedding_dups": embedding_dups,
     "doc_bytes": doc_bytes,
     "doc_extract_text": doc_extract_text,
+    "docs_bottomk_sample": docs_bottomk_sample,
     "multimodal_decode_demo": multimodal_decode_demo,
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1073,6 +1119,15 @@ ORACLE = {
     # Byte-identity of the html->text extraction round-trip: the oracle
     # is the raw source column itself.
     "doc_extract_text": "SELECT doc_id, text FROM documents",
+    # KMV bottom-k: k smallest distinct text hashes, min doc_id each;
+    # unsigned hash order, int64 two's-complement view on the wire.
+    "docs_bottomk_sample": (
+        "WITH h AS (SELECT doc_id, md5_number_lower(text) AS hv "
+        "FROM documents), "
+        "d AS (SELECT hv, MIN(doc_id) AS doc_id FROM h GROUP BY hv) "
+        "SELECT doc_id, CAST(CASE WHEN hv >= 9223372036854775808 "
+        "THEN hv - 18446744073709551616 ELSE hv END AS BIGINT) AS h64 "
+        "FROM d ORDER BY hv LIMIT 32"),
     # SimHash replayed in SQL: token hash == md5_number_lower, 64 per-bit
     # majority votes, HUGEINT bit pack, int64 two's-complement view.
     "simhash_sketch": r"""

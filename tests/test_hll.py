@@ -68,3 +68,22 @@ def test_orders_sketch_merge_invariance_and_estimate(ray_session):
             Max("rho", alias_name="rho")).to_pandas() \
         .sort_values("register").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, tiny)
+
+
+def test_bottomk_block_split_invariance(ray_session):
+    """The per-block partial bottom-k argument (a globally-bottom-k hash
+    is bottom-k in every block containing it) under a forced split."""
+    from s2geometry_d_ray.pipelines.training_data import docs_bottomk_sample
+    a = docs_bottomk_sample(SF)
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    # brute oracle in-process
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    hv = hash_u64(t["text"].to_numpy(zero_copy_only=False))
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    import pandas as pd_
+    df = pd_.DataFrame({"hv": hv, "doc_id": did}).groupby(
+        "hv", as_index=False).min().sort_values("hv").head(32)
+    assert a["h64"].to_numpy().astype(np.int64).view(np.uint64).tolist() \
+        == df["hv"].tolist()
+    assert a["doc_id"].tolist() == df["doc_id"].tolist()
