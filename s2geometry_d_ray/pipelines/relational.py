@@ -430,6 +430,84 @@ def orders_distinct_sketch(sf_dir):
     return out.sort_values("register").reset_index(drop=True)
 
 
+def customer_top_orders(sf_dir, k=3, n_buckets=64):
+    """Grouped top-k: each customer's k highest-price orders (ties by
+    orderkey) — the per-key-rank operator global top-k (q3/q15) does
+    not cover.
+
+    Scale shape: a vectorized per-BLOCK top-k-per-key combiner prunes
+    before the shuffle (sound: a global per-key top-k row is in its
+    block's per-key top-k), then one hash-bucket groupby and the same
+    vectorized rank per bucket — lexsort + segment cumcount, no per-key
+    loop, no global sort.  Oracle: ROW_NUMBER window replay."""
+    from ..stages.asof import add_hash_bucket
+
+    def topk(ck, ok, price, kk):
+        order = np.lexsort((ok, -price, ck))
+        c = ck[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        seg = np.flatnonzero(new)
+        sizes = np.diff(np.append(seg, len(c)))
+        rank = np.arange(len(c), dtype=np.int64) - np.repeat(seg, sizes)
+        keep = rank < kk
+        return order[keep], rank[keep] + 1
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        pr = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx, _ = topk(ck, ok, pr, k)
+        return add_hash_bucket(batch.take(idx), "o_custkey", n_buckets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        pr = g["o_totalprice"].to_numpy()
+        idx, rank = topk(ck, ok, pr, k)
+        return pd.DataFrame({
+            "o_custkey": ck[idx], "o_orderkey": ok[idx],
+            "o_totalprice": pr[idx], "rank": rank})
+
+    out = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(rank_group, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def lineitem_quantiles(sf_dir):
+    """EXACT distributed quantiles of a bounded-cardinality numeric
+    column via a value histogram: per-block (value, count) partials,
+    one groupby(value) sum over <= |distinct| rows per block, and the
+    quantile walk over the tiny merged histogram — no global sort.
+    Index rule replicates DuckDB quantile_disc: idx = ceil(q*n) - 1,
+    clamped at 0 (verified against a VALUES probe)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(u, pa.float64()),
+                         "n": pa.array(c, pa.int64())})
+
+    hist = _read(sf_dir, "lineitem", ["l_quantity"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("value").aggregate(RaySum("n", alias_name="n")) \
+        .to_pandas().sort_values("value")
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["value"].to_numpy()
+    out = []
+    for q in _QUANTILES:
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        out.append(vals[np.searchsorted(cum, idx, side="right")])
+    return pd.DataFrame({"q": np.asarray(_QUANTILES, dtype=np.float64),
+                         "value": np.asarray(out, dtype=np.float64)})
+
+
 def q6_revenue_forecast(sf_dir):
     """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
     ship-year.  Pure streaming filter + per-block partial sum -> one-row
@@ -509,6 +587,8 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_asof": events_asof,
     "orders_distinct_sketch": orders_distinct_sketch,
+    "lineitem_quantiles": lineitem_quantiles,
+    "customer_top_orders": customer_top_orders,
 }
 
 # HLL register replay: hash = md5_number_lower(str(key)) (the simhash
@@ -530,6 +610,19 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
+    "customer_top_orders": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+        " AS rank FROM orders) WHERE rank <= 3"),
+    "lineitem_quantiles": (
+        "WITH a AS (SELECT quantile_disc(l_quantity,"
+        " [0.25, 0.5, 0.75, 0.95]) AS v FROM lineitem) "
+        "SELECT 0.25 AS q, v[1] AS value FROM a UNION ALL "
+        "SELECT 0.5, v[2] FROM a UNION ALL "
+        "SELECT 0.75, v[3] FROM a UNION ALL "
+        "SELECT 0.95, v[4] FROM a"),
     # Deterministic as-of window replay: rights sort BEFORE lefts at
     # equal ts (so equal-ts rights are visible), max event_id among
     # equal-ts rights, inner semantics (NULL matches dropped).

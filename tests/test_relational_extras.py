@@ -1,0 +1,43 @@
+"""Grouped top-k and exact distributed quantiles: combiner soundness
+under forced block splits, and the quantile_disc index rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_customer_top_orders_matches_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.relational import customer_top_orders
+    got = customer_top_orders(SF, n_buckets=5)
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    t = t.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                      ascending=[True, False, True])
+    t["rank"] = t.groupby("o_custkey").cumcount() + 1
+    want = t[t["rank"] <= 3][["o_custkey", "o_orderkey",
+                              "o_totalprice", "rank"]] \
+        .sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), want.astype({"rank": "int64"}))
+
+
+def test_quantile_index_rule_edges(ray_session):
+    # per-block histogram + ceil(q*n)-1 walk vs numpy on the real column
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.relational import (_QUANTILES,
+                                                       lineitem_quantiles)
+    got = lineitem_quantiles(SF)
+    v = np.sort(pq.read_table(f"{SF}/lineitem.parquet",
+                              columns=["l_quantity"])
+                ["l_quantity"].to_numpy(zero_copy_only=False))
+    for q, val in zip(got["q"], got["value"]):
+        idx = max(0, int(np.ceil(q * len(v))) - 1)
+        assert val == v[idx]
+    assert list(got["q"]) == list(_QUANTILES)
