@@ -430,6 +430,54 @@ def orders_distinct_sketch(sf_dir):
     return out.sort_values("register").reset_index(drop=True)
 
 
+def customers_without_orders(sf_dir, n_buckets=64):
+    """Distributed ANTI-join: customers with no order in 1995.  Both
+    sides are hash-bucketed on the key and unioned into ONE shuffle;
+    each bucket keeps left keys absent from its right-key set
+    (vectorized np.isin).  The right side is date-filtered at the scan
+    and pre-distinct-ed per block (<= |keys| rows per block) so the
+    shuffle carries key sets, not the fact table — at a larger right
+    side this plan is unchanged, which is the point of bucketing over
+    broadcasting.  Oracle: NOT EXISTS."""
+    from ..stages.asof import add_hash_bucket
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1996-01-01")
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch["c_custkey"],
+                      "c_name": batch["c_name"]})
+        return add_hash_bucket(t, "c_custkey", n_buckets)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(ck[(d >= lo) & (d < hi)])
+        t = pa.table({"c_custkey": pa.array(k, pa.int64()),
+                      "c_name": pa.nulls(len(k), pa.string())})
+        return add_hash_bucket(t, "c_custkey", n_buckets)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        right = g["c_name"].isna().to_numpy()
+        keys = g["c_custkey"].to_numpy()
+        keep = ~right & ~np.isin(keys, keys[right])
+        return pd.DataFrame({
+            "c_custkey": keys[keep].astype(np.int64),
+            "c_name": g["c_name"].to_numpy()[keep].astype(str)})
+
+    left = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate"]).map_batches(
+        prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    out = left.union(right).groupby("bucket") \
+        .map_groups(anti, batch_format="pandas").to_pandas()
+    if "c_custkey" not in out.columns:     # all-bucket-empty edge
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="str")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def customer_top_orders(sf_dir, k=3, n_buckets=64):
     """Grouped top-k: each customer's k highest-price orders (ties by
     orderkey) — the per-key-rank operator global top-k (q3/q15) does
@@ -589,6 +637,7 @@ QUERIES = {
     "orders_distinct_sketch": orders_distinct_sketch,
     "lineitem_quantiles": lineitem_quantiles,
     "customer_top_orders": customer_top_orders,
+    "customers_without_orders": customers_without_orders,
 }
 
 # HLL register replay: hash = md5_number_lower(str(key)) (the simhash
@@ -610,6 +659,11 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
+    "customers_without_orders": (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderdate >= DATE '1995-01-01' "
+        "AND o.o_orderdate < DATE '1996-01-01')"),
     "customer_top_orders": (
         "SELECT o_custkey, o_orderkey, o_totalprice, "
         "CAST(rank AS BIGINT) AS rank FROM ("

@@ -41,3 +41,20 @@ def test_quantile_index_rule_edges(ray_session):
         idx = max(0, int(np.ceil(q * len(v))) - 1)
         assert val == v[idx]
     assert list(got["q"]) == list(_QUANTILES)
+
+
+def test_anti_join_matches_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.relational import customers_without_orders
+    got = customers_without_orders(SF, n_buckets=3)
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    in95 = orders[(orders["o_orderdate"] >= np.datetime64("1995-01-01"))
+                  & (orders["o_orderdate"] < np.datetime64("1996-01-01"))]
+    want = cust[~cust["c_custkey"].isin(in95["o_custkey"])] \
+        .sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
