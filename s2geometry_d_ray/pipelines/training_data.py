@@ -826,6 +826,31 @@ def docs_bottomk_sample(sf_dir, k=32):
     return out.to_pandas().reset_index(drop=True)
 
 
+def docs_split_assign(sf_dir, val_pct=10, test_pct=10):
+    """Deterministic train/val/test split assignment — the canonical
+    training-data primitive: split membership is a pure function of the
+    KEY hash (md5_number_lower of the url-like doc key), so it is
+    stable across runs, machines and reshards, and dedup-safe
+    (identical keys always land in the same split).  Pure per-row map,
+    no shuffle.  Oracle: the same threshold arithmetic on UBIGINT."""
+    from ..stages.hll import hash_u64
+
+    # integer thresholds on the full uint64 hash space — exact in SQL
+    t_test = (1 << 64) * test_pct // 100
+    t_val = (1 << 64) * (test_pct + val_pct) // 100
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        hv = hash_u64(batch["doc_id"].to_numpy(zero_copy_only=False))
+        split = np.where(
+            hv < np.uint64(t_test), "test",
+            np.where(hv < np.uint64(t_val), "val", "train"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_extract_text(sf_dir):
     """The input_hint per-row invariant as a driver-graded query: wrap
     each document's text in the synthetic source's html envelope
@@ -960,6 +985,7 @@ QUERIES = {
     "doc_bytes": doc_bytes,
     "doc_extract_text": doc_extract_text,
     "docs_bottomk_sample": docs_bottomk_sample,
+    "docs_split_assign": docs_split_assign,
     "multimodal_decode_demo": multimodal_decode_demo,
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -1119,6 +1145,14 @@ ORACLE = {
     # Byte-identity of the html->text extraction round-trip: the oracle
     # is the raw source column itself.
     "doc_extract_text": "SELECT doc_id, text FROM documents",
+    # Deterministic split: same integer thresholds on the uint64 hash.
+    "docs_split_assign": (
+        f"SELECT doc_id, CASE "
+        f"WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) "
+        f"< {(1 << 64) * 10 // 100} THEN 'test' "
+        f"WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) "
+        f"< {(1 << 64) * 20 // 100} THEN 'val' "
+        f"ELSE 'train' END AS split FROM documents"),
     # KMV bottom-k: k smallest distinct text hashes, min doc_id each;
     # unsigned hash order, int64 two's-complement view on the wire.
     "docs_bottomk_sample": (
