@@ -180,7 +180,9 @@ def geo_common_ancestor(sf_dir, bucket_keys=4096):
         t = pa.table({"doc_id": pa.array(did, pa.int64()),
                       "cell_id": pa.array(leaf, pa.int64()),
                       "bucket": pa.array(b, pa.int64())})
-        edge = did % bucket_keys == 0
+        # doc_id 0 has no predecessor: forwarding it would create an
+        # empty bucket -1 group (and a schema warning on its empty block)
+        edge = (did % bucket_keys == 0) & (did > 0)
         if edge.any():
             t = pa.concat_tables([t, pa.table({
                 "doc_id": pa.array(did[edge], pa.int64()),
