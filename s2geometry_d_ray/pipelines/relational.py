@@ -556,6 +556,50 @@ def lineitem_quantiles(sf_dir):
                          "value": np.asarray(out, dtype=np.float64)})
 
 
+def events_running_total(sf_dir, n_buckets=64):
+    """Per-user running total (prefix scan) of event value ordered by
+    (ts, event_id) — the cumulative window form the tumbling/session
+    aggregates don't cover.  One bucket shuffle colocates each user's
+    history; per bucket a single vectorized multi-user cumsum with
+    segment reset (global cumsum minus per-segment base) — no per-user
+    loop.  Values sum as integer cents so the running total is
+    bit-identical to the SUM() OVER oracle regardless of addition
+    order."""
+    from ..stages.asof import add_hash_bucket
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_id": batch["event_id"],
+                      "user_id": batch["user_id"], "ts": batch["ts"],
+                      "cents": pa.array(_cents(
+                          batch["value"].to_numpy(zero_copy_only=False)),
+                          pa.int64())})
+        return add_hash_bucket(t, "user_id", n_buckets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        uid = g["user_id"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        cents = g["cents"].to_numpy()[order]
+        c = np.cumsum(cents)
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.flatnonzero(new)
+        sizes = np.diff(np.append(seg, len(uid)))
+        base = np.repeat(c[seg] - cents[seg], sizes)
+        return pd.DataFrame({"event_id": eid.astype(np.int64),
+                             "user_id": uid.astype(np.int64),
+                             "running_cents": (c - base).astype(np.int64)})
+
+    out = _read(sf_dir, "events",
+                ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(scan, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q6_revenue_forecast(sf_dir):
     """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
     ship-year.  Pure streaming filter + per-block partial sum -> one-row
@@ -638,6 +682,7 @@ QUERIES = {
     "lineitem_quantiles": lineitem_quantiles,
     "customer_top_orders": customer_top_orders,
     "customers_without_orders": customers_without_orders,
+    "events_running_total": events_running_total,
 }
 
 # HLL register replay: hash = md5_number_lower(str(key)) (the simhash
@@ -659,6 +704,12 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
+    "events_running_total": (
+        "SELECT event_id, user_id, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS running_cents FROM events"),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "

@@ -58,3 +58,19 @@ def test_anti_join_matches_brute(ray_session):
         .sort_values("c_custkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_running_total_bucket_invariance(ray_session):
+    from s2geometry_d_ray.pipelines.relational import events_running_total
+    a = events_running_total(SF, n_buckets=3)
+    b = events_running_total(SF, n_buckets=64)
+    pd.testing.assert_frame_equal(a, b)
+    # prefix-scan sanity: last running value per user == user's total
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = pd.DataFrame({"user_id": ev["user_id"], "c": cents}) \
+        .groupby("user_id")["c"].sum()
+    got = a.groupby("user_id")["running_cents"].max()
+    assert (got == want).all()
