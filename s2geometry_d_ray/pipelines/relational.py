@@ -556,6 +556,37 @@ def lineitem_quantiles(sf_dir):
                          "value": np.asarray(out, dtype=np.float64)})
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir):
+    """Pivot / wide aggregate: one row per user with per-event-type
+    counts as COLUMNS.  Scale shape: the pivot happens INSIDE the
+    per-block partial (unstack to the fixed type vocabulary), so the
+    shuffle is a plain groupby(user).sum over k count columns — never a
+    (user, type) long table wider than the block.  Unknown types fail
+    loudly (the vocabulary is part of the schema contract)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        codes = pd.Categorical(df["event_type"],
+                               categories=_PIVOT_TYPES)
+        if codes.isna().any():
+            bad = sorted(set(df["event_type"]) - set(_PIVOT_TYPES))
+            raise ValueError(f"unknown event types {bad}")
+        counts = pd.crosstab(df["user_id"], codes, dropna=False)
+        counts = counts.reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        counts.columns = [f"n_{t}" for t in _PIVOT_TYPES]
+        return counts.reset_index().rename(columns={"index": "user_id"})
+
+    parts = _read(sf_dir, "events",
+                  ["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = _final_combine(parts, ["user_id"],
+                         sums=[f"n_{t}" for t in _PIVOT_TYPES])
+    return out[["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES]] \
+        .astype("int64").reset_index(drop=True)
+
+
 def events_running_total(sf_dir, n_buckets=64):
     """Per-user running total (prefix scan) of event value ordered by
     (ts, event_id) — the cumulative window form the tumbling/session
@@ -683,6 +714,7 @@ QUERIES = {
     "customer_top_orders": customer_top_orders,
     "customers_without_orders": customers_without_orders,
     "events_running_total": events_running_total,
+    "events_type_pivot": events_type_pivot,
 }
 
 # HLL register replay: hash = md5_number_lower(str(key)) (the simhash
@@ -704,6 +736,12 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
+    "events_type_pivot": (
+        "SELECT user_id, "
+        + ", ".join(
+            f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+            f" AS n_{t}" for t in _PIVOT_TYPES)
+        + " FROM events GROUP BY user_id"),
     "events_running_total": (
         "SELECT event_id, user_id, "
         "SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "

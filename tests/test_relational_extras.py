@@ -74,3 +74,20 @@ def test_running_total_bucket_invariance(ray_session):
         .groupby("user_id")["c"].sum()
     got = a.groupby("user_id")["running_cents"].max()
     assert (got == want).all()
+
+
+def test_pivot_row_sums_match_event_counts(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.relational import (_PIVOT_TYPES,
+                                                       events_type_pivot)
+    got = events_type_pivot(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    want_tot = ev.groupby("user_id").size()
+    tot = got.set_index("user_id")[[f"n_{t}" for t in _PIVOT_TYPES]] \
+        .sum(axis=1)
+    assert (tot == want_tot).all()
+    want_click = ev[ev["event_type"] == "click"].groupby("user_id").size() \
+        .reindex(got["user_id"], fill_value=0)
+    assert (got.set_index("user_id")["n_click"] == want_click).all()
