@@ -525,6 +525,37 @@ def customer_top_orders(sf_dir, k=3, n_buckets=64):
     return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
 
 
+_GROUP_QUANTILES = (0.5, 0.9)
+
+
+def events_type_quantiles(sf_dir):
+    """Grouped exact quantiles: per-event-type value median and p90 via
+    the same per-block (group, value, count) histogram as
+    lineitem_quantiles — merge is one groupby([type, value]) sum
+    (bounded by distinct pairs, not rows), the quantile walk runs per
+    group on the tiny merged histogram.  quantile_disc index rule."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby(["event_type", "value"]).size() \
+            .rename("n").reset_index()
+
+    hist = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    hist = hist.groupby(["event_type", "value"], as_index=False)["n"] \
+        .sum().sort_values(["event_type", "value"])
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = g["value"].to_numpy()
+        for q in _GROUP_QUANTILES:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            rows.append((et, q, vals[np.searchsorted(cum, idx,
+                                                     side="right")]))
+    return pd.DataFrame(rows, columns=["event_type", "q", "value"]) \
+        .astype({"q": "float64", "value": "float64"})
+
+
 _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -715,6 +746,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "events_running_total": events_running_total,
     "events_type_pivot": events_type_pivot,
+    "events_type_quantiles": events_type_quantiles,
 }
 
 # HLL register replay: hash = md5_number_lower(str(key)) (the simhash
@@ -736,6 +768,11 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
+    "events_type_quantiles": (
+        "WITH a AS (SELECT event_type, quantile_disc(value, [0.5, 0.9])"
+        " AS v FROM events GROUP BY event_type) "
+        "SELECT event_type, 0.5 AS q, v[1] AS value FROM a UNION ALL "
+        "SELECT event_type, 0.9, v[2] FROM a"),
     "events_type_pivot": (
         "SELECT user_id, "
         + ", ".join(

@@ -91,3 +91,18 @@ def test_pivot_row_sums_match_event_counts(ray_session):
     want_click = ev[ev["event_type"] == "click"].groupby("user_id").size() \
         .reindex(got["user_id"], fill_value=0)
     assert (got.set_index("user_id")["n_click"] == want_click).all()
+
+
+def test_grouped_quantiles_match_numpy_walk(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2geometry_d_ray.pipelines.relational import (_GROUP_QUANTILES,
+                                                       events_type_quantiles)
+    got = events_type_quantiles(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for (et, q), grp in got.groupby(["event_type", "q"]):
+        v = np.sort(ev[ev["event_type"] == et]["value"].to_numpy())
+        idx = max(0, int(np.ceil(q * len(v))) - 1)
+        assert grp["value"].iloc[0] == v[idx]
+    assert sorted(set(got["q"])) == sorted(_GROUP_QUANTILES)
