@@ -328,16 +328,12 @@ def events_sessions(sf_dir, n_buckets=64):
     bucketed combine is the same pattern that gave tile_counts its
     170x.  Partitioning assumption: a bucket holds the FULL history of
     each of its users (guaranteed by the groupby shuffle)."""
+    from ..stages.asof import add_hash_bucket
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64).view(np.uint64)
-        # Derive the shift from n_buckets so every bucket can populate
-        # (a fixed 6-bit shift silently capped it at 64 — ADVICE r3).
-        bits = max(1, int(np.ceil(np.log2(max(2, n_buckets)))))
-        with np.errstate(over="ignore"):
-            h = uid * np.uint64(0x9E3779B97F4A7C15)
-        b = (h >> np.uint64(64 - bits)).astype(np.int64) % n_buckets
-        return batch.append_column("bucket", pa.array(b, pa.int64()))
+        # ONE shared bucketing (stages/asof.py) repo-wide so bucketed
+        # stages colocate and a hash fix can't silently miss a copy.
+        return add_hash_bucket(batch, "user_id", n_buckets)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])

@@ -23,15 +23,16 @@ import pyarrow as pa
 
 
 def add_hash_bucket(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
-    """Append an int64 `bucket` column = multiplicative hash of `key`
-    (the events_sessions bucketing, shared so both sides of a join
-    colocate)."""
+    """Append an int64 `bucket` column = multiplicative hash of `key`,
+    shared by every bucketed stage so join sides colocate.  The mixed
+    64-bit hash is reduced with a plain modulo: uniform for ANY
+    n_buckets (a top-bits-then-mod fold skews non-power-of-two counts
+    up to 2x), bias ~ n_buckets/2^64."""
     k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64) \
         .view(np.uint64)
-    bits = max(1, int(np.ceil(np.log2(max(2, n_buckets)))))
     with np.errstate(over="ignore"):
         h = k * np.uint64(0x9E3779B97F4A7C15)
-    b = (h >> np.uint64(64 - bits)).astype(np.int64) % n_buckets
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
     return batch.append_column("bucket", pa.array(b, pa.int64()))
 
 
@@ -58,7 +59,6 @@ def most_recent_right_at_or_before(key, ts, is_left, seq):
     k_s = key[order]
     right_s = is_left[order] == 0
     idx = np.arange(n, dtype=np.int64)
-    last_right = np.maximum.accumulate(np.where(right_s, idx, -1)) \
-        if n else idx
+    last_right = np.maximum.accumulate(np.where(right_s, idx, -1))
     valid = (last_right >= 0) & (k_s[np.maximum(last_right, 0)] == k_s)
     return order, np.where(valid, last_right, -1)

@@ -25,16 +25,27 @@ import numpy as np
 import pyarrow as pa
 
 M_DEFAULT = 256          # 2^8 registers -> std error ~1.04/sqrt(m) = 6.5%
-_REG_BITS = 8
-_VAL_BITS = 64 - _REG_BITS
 # exact uint64 powers of two for integer bit-length via searchsorted
-_POW2 = (np.uint64(1) << np.arange(_VAL_BITS, dtype=np.uint64))
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _reg_bits(m: int) -> int:
+    bits = int(m).bit_length() - 1
+    if m < 2 or (1 << bits) != m:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    return bits
 
 
 def hash_u64(values) -> np.ndarray:
     """md5_number_lower of str(value) per UNIQUE value (md5 has no
-    vectorized form; the loop is sub-linear in rows for repeated keys)."""
+    vectorized form; the loop is sub-linear in rows for repeated keys).
+    Nulls hash as the empty string (the sibling text.py guards); note
+    the DuckDB oracles never see nulls on these key columns."""
     vals = np.asarray(values)
+    if vals.dtype == object:
+        # None is unorderable (np.unique sorts) — map to "" up front
+        vals = np.array(["" if v is None else v for v in vals],
+                        dtype=object)
     uniq, inv = np.unique(vals, return_inverse=True)
     md5 = hashlib.md5
     hu = np.fromiter(
@@ -46,14 +57,15 @@ def hash_u64(values) -> np.ndarray:
 
 def registers_rho(h: np.ndarray, m: int = M_DEFAULT):
     """(register, rho): register = low log2(m) bits, rho = 1 + leading
-    zeros of the remaining 56-bit value (rho = 57 when it is 0).
-    Bit length via searchsorted over exact uint64 powers — no float
-    log2 boundary hazards."""
-    assert m == M_DEFAULT, "register math is specialized to m=256"
+    zeros of the remaining (64 - log2(m))-bit value (rho = val_bits + 1
+    when it is 0).  Bit length via searchsorted over exact uint64
+    powers — no float log2 boundary hazards."""
+    bits = _reg_bits(m)
+    val_bits = 64 - bits
     reg = (h & np.uint64(m - 1)).astype(np.int64)
-    x = h >> np.uint64(_REG_BITS)
-    bitlen = np.searchsorted(_POW2, x, side="right")  # 0 for x == 0
-    rho = (_VAL_BITS + 1 - bitlen).astype(np.int64)
+    x = h >> np.uint64(bits)
+    bitlen = np.searchsorted(_POW2[:val_bits], x, side="right")
+    rho = (val_bits + 1 - bitlen).astype(np.int64)
     return reg, rho
 
 

@@ -87,3 +87,24 @@ def test_bottomk_block_split_invariance(ray_session):
     assert a["h64"].to_numpy().astype(np.int64).view(np.uint64).tolist() \
         == df["hv"].tolist()
     assert a["doc_id"].tolist() == df["doc_id"].tolist()
+
+
+def test_registers_rho_generalizes_m():
+    import pytest
+    from s2geometry_d_ray.stages.hll import _reg_bits
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2 ** 63, 5000, dtype=np.int64).view(np.uint64)
+    for m in (2, 64, 1024):
+        bits = _reg_bits(m)
+        reg, rho = registers_rho(h, m)
+        for i in range(0, len(h), 97):
+            x = int(h[i]) >> bits
+            assert reg[i] == int(h[i]) & (m - 1)
+            assert rho[i] == (64 - bits) + 1 - x.bit_length()
+    with pytest.raises(ValueError):
+        registers_rho(h, 100)   # not a power of two
+
+
+def test_hash_u64_null_guard():
+    a = hash_u64(np.array(["x", None, ""], dtype=object))
+    assert a[1] == a[2]         # None hashes as empty string
