@@ -57,11 +57,13 @@ def _final_combine(partials_df, keys, sums=(), counts=()):
 
 
 def _cents(x):
-    """Exact integer cents: per-row round-half-away, integer sums after.
-    Summing BIGINT cents makes money aggregates bit-identical between the
-    Ray pipeline and the DuckDB oracle regardless of addition order."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 100.0
-                    + 0.5).astype(np.int64)
+    """Exact integer cents: per-row round-half-AWAY-FROM-ZERO (matching
+    DuckDB ROUND for negative values too — floor(x+0.5) alone is
+    half-up and diverges at -0.005), integer sums after.  Summing
+    BIGINT cents makes money aggregates bit-identical between the Ray
+    pipeline and the DuckDB oracle regardless of addition order."""
+    v = np.asarray(x, dtype=np.float64) * 100.0
+    return (np.copysign(np.floor(np.abs(v) + 0.5), v)).astype(np.int64)
 
 
 def q1_pricing_summary(sf_dir):
@@ -168,7 +170,6 @@ def q5_nation_revenue(sf_dir):
         JOIN orders-with-nation on l_orderkey = shuffle hash join;
       per-batch partial groupby(c_nationkey) -> 25-row driver combine.
     n_name attaches at the very end from the tiny nation table."""
-    import ray
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nparts = _join_partitions(sf_dir)
 
@@ -356,7 +357,16 @@ def events_sessions(sf_dir, n_buckets=64):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def events_asof(sf_dir, left_type="view", right_type="purchase",
+# Query parameters shared with the ORACLE strings below — deriving both
+# sides from one constant is the _FRAME_EVERY_N lesson (ADVICE r4):
+# a literal re-hardcoded in the SQL silently diverges when the default
+# changes.
+_ASOF_LEFT = "view"
+_ASOF_RIGHT = "purchase"
+_TOPK_PER_CUSTOMER = 3
+
+
+def events_asof(sf_dir, left_type=_ASOF_LEFT, right_type=_ASOF_RIGHT,
                 n_buckets=64):
     """As-of join: each `left_type` event matched to the SAME user's most
     recent `right_type` event at or before it (equal-ts rights are
@@ -474,7 +484,7 @@ def customers_without_orders(sf_dir, n_buckets=64):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
-def customer_top_orders(sf_dir, k=3, n_buckets=64):
+def customer_top_orders(sf_dir, k=_TOPK_PER_CUSTOMER, n_buckets=64):
     """Grouped top-k: each customer's k highest-price orders (ties by
     orderkey) — the per-key-rank operator global top-k (q3/q15) does
     not cover.
@@ -535,10 +545,14 @@ def events_type_quantiles(sf_dir):
         return df.groupby(["event_type", "value"]).size() \
             .rename("n").reset_index()
 
+    # Merge DISTRIBUTED (review r5: a driver gather here would ship
+    # O(blocks x distinct pairs) rows); only the bounded merged
+    # histogram reaches the driver.
     hist = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
-    hist = hist.groupby(["event_type", "value"], as_index=False)["n"] \
-        .sum().sort_values(["event_type", "value"])
+        partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["event_type", "value"]) \
+        .aggregate(RaySum("n", alias_name="n")) \
+        .to_pandas().sort_values(["event_type", "value"])
     rows = []
     for et, g in hist.groupby("event_type", sort=True):
         cum = g["n"].to_numpy().cumsum()
@@ -765,10 +779,12 @@ SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY register
 ORACLE = {
     "orders_distinct_sketch": ORACLE_HLL,
     "events_type_quantiles": (
-        "WITH a AS (SELECT event_type, quantile_disc(value, [0.5, 0.9])"
-        " AS v FROM events GROUP BY event_type) "
-        "SELECT event_type, 0.5 AS q, v[1] AS value FROM a UNION ALL "
-        "SELECT event_type, 0.9, v[2] FROM a"),
+        "WITH a AS (SELECT event_type, quantile_disc(value, ["
+        + ", ".join(str(q) for q in _GROUP_QUANTILES)
+        + "]) AS v FROM events GROUP BY event_type) "
+        + " UNION ALL ".join(
+            f"SELECT event_type, {q} AS q, v[{i + 1}] AS value FROM a"
+            for i, q in enumerate(_GROUP_QUANTILES))),
     "events_type_pivot": (
         "SELECT user_id, "
         + ", ".join(
@@ -791,22 +807,24 @@ ORACLE = {
         "CAST(rank AS BIGINT) AS rank FROM ("
         "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
-        " AS rank FROM orders) WHERE rank <= 3"),
+        f" AS rank FROM orders) WHERE rank <= {_TOPK_PER_CUSTOMER}"),
     "lineitem_quantiles": (
-        "WITH a AS (SELECT quantile_disc(l_quantity,"
-        " [0.25, 0.5, 0.75, 0.95]) AS v FROM lineitem) "
-        "SELECT 0.25 AS q, v[1] AS value FROM a UNION ALL "
-        "SELECT 0.5, v[2] FROM a UNION ALL "
-        "SELECT 0.75, v[3] FROM a UNION ALL "
-        "SELECT 0.95, v[4] FROM a"),
+        "WITH a AS (SELECT quantile_disc(l_quantity, ["
+        + ", ".join(str(q) for q in _QUANTILES)
+        + "]) AS v FROM lineitem) "
+        + " UNION ALL ".join(
+            f"SELECT {q} AS q, v[{i + 1}] AS value FROM a"
+            for i, q in enumerate(_QUANTILES))),
     # Deterministic as-of window replay: rights sort BEFORE lefts at
     # equal ts (so equal-ts rights are visible), max event_id among
     # equal-ts rights, inner semantics (NULL matches dropped).
     "events_asof": (
         "WITH ev AS ("
         "  SELECT event_id, user_id, ts, value,"
-        "         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_left"
-        "  FROM events WHERE event_type IN ('view', 'purchase')"
+        f"  CASE WHEN event_type = '{_ASOF_LEFT}' THEN 1 ELSE 0 END"
+        " AS is_left"
+        f"  FROM events WHERE event_type IN"
+        f" ('{_ASOF_LEFT}', '{_ASOF_RIGHT}')"
         "), w AS ("
         "  SELECT event_id, user_id, ts, is_left,"
         "    LAST_VALUE(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)"

@@ -669,8 +669,6 @@ def embedding_dups_exact(sf_dir, threshold=0.4):
     deterministic baseline the LSH path (embedding_dups) approximates.
     At larger n the broadcast side becomes block-vs-block tiling; the
     pair OUTPUT stays small for any sane threshold."""
-    import ray
-
     emb = _emb(sf_dir)
     df = emb.to_pandas()
     # Oracle-ground-truth path ONLY: the driver materializes the whole
@@ -781,7 +779,10 @@ def doc_bytes(sf_dir):
         kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def docs_bottomk_sample(sf_dir, k=32):
+_BOTTOMK = 32
+
+
+def docs_bottomk_sample(sf_dir, k=_BOTTOMK):
     """KMV bottom-k sketch: the k smallest md5_number_lower hashes of the
     text column, each with the smallest doc_id carrying it — a
     deterministic DISTINCT sample (duplicates hash identically) that
@@ -826,7 +827,12 @@ def docs_bottomk_sample(sf_dir, k=32):
     return out.to_pandas().reset_index(drop=True)
 
 
-def docs_split_assign(sf_dir, val_pct=10, test_pct=10):
+_SPLIT_TEST_PCT = 10
+_SPLIT_VAL_PCT = 10
+
+
+def docs_split_assign(sf_dir, val_pct=_SPLIT_VAL_PCT,
+                      test_pct=_SPLIT_TEST_PCT):
     """Deterministic train/val/test split assignment — the canonical
     training-data primitive: split membership is a pure function of the
     KEY hash (md5_number_lower of the url-like doc key), so it is
@@ -1149,9 +1155,9 @@ ORACLE = {
     "docs_split_assign": (
         f"SELECT doc_id, CASE "
         f"WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) "
-        f"< {(1 << 64) * 10 // 100} THEN 'test' "
+        f"< {(1 << 64) * _SPLIT_TEST_PCT // 100} THEN 'test' "
         f"WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) "
-        f"< {(1 << 64) * 20 // 100} THEN 'val' "
+        f"< {(1 << 64) * (_SPLIT_TEST_PCT + _SPLIT_VAL_PCT) // 100} THEN 'val' "
         f"ELSE 'train' END AS split FROM documents"),
     # KMV bottom-k: k smallest distinct text hashes, min doc_id each;
     # unsigned hash order, int64 two's-complement view on the wire.
@@ -1161,7 +1167,7 @@ ORACLE = {
         "d AS (SELECT hv, MIN(doc_id) AS doc_id FROM h GROUP BY hv) "
         "SELECT doc_id, CAST(CASE WHEN hv >= 9223372036854775808 "
         "THEN hv - 18446744073709551616 ELSE hv END AS BIGINT) AS h64 "
-        "FROM d ORDER BY hv LIMIT 32"),
+        f"FROM d ORDER BY hv LIMIT {_BOTTOMK}"),
     # SimHash replayed in SQL: token hash == md5_number_lower, 64 per-bit
     # majority votes, HUGEINT bit pack, int64 two's-complement view.
     "simhash_sketch": r"""
